@@ -1,0 +1,99 @@
+"""Multi-chip sharded training step.
+
+Design (scaling-book style): annotate input shardings, let GSPMD insert the
+collectives.
+
+- Camera batch (B, ...) sharded over ``data``: every device group renders a
+  different view each step (the multi-chip generalization of the
+  reference's batch=1 loop, coarse_sdf.py:480-502). The mean loss's
+  backward produces the gradient all-reduce over ``data``.
+- Gaussian buffers (capacity, ...) sharded over ``gauss``: preprocess, Adam,
+  and densification stats stay sharded; the render's global [tile|depth]
+  sort triggers an XLA all-gather along ``gauss``, then per-tile compositing
+  proceeds locally and the parameter-gradient scatter reduces back to the
+  shards.
+
+All cameras in a batch must share a resolution (one jit specialization per
+resolution, as in the single-chip path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sugar_tpu.core.cameras import Cameras
+from sugar_tpu.models import densifier as dens
+from sugar_tpu.models.gaussians import GaussianParams
+from sugar_tpu.models.render import render_params
+from sugar_tpu.trainers import optimizer as opt
+from sugar_tpu.utils import losses
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    lrs: dict[str, Callable],
+    optim_cfg: opt.OptimConfig,
+    active_sh_degree: int,
+    dup_capacity: int,
+    k_max: int = 512,
+    lambda_dssim: float = 0.2,
+    white_background: bool = False,
+):
+    """Build a pjit'ed multi-camera train step over the mesh."""
+    gauss = NamedSharding(mesh, P("gauss"))
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(
+        params: GaussianParams,
+        alive: jnp.ndarray,
+        adam: opt.AdamState,
+        stats: dens.DensifyStats,
+        cams: Cameras,  # batched (B, ...)
+        gts: jnp.ndarray,  # (B, H, W, 3)
+        it: jnp.ndarray,
+    ):
+        bg = jnp.full((3,), 1.0 if white_background else 0.0, jnp.float32)
+        n = params.xyz.shape[0]
+        probe = jnp.zeros((n, 2), jnp.float32)
+
+        def loss_one(p, pr, cam, gt):
+            out = render_params(
+                p, alive, cam, active_sh_degree, bg,
+                ndc_offset=pr, dup_capacity=dup_capacity, k_max=k_max,
+            )
+            img = jnp.clip(out["image"], 0.0, 1.0)
+            loss = (1 - lambda_dssim) * losses.l1_loss(img, gt) + lambda_dssim * (
+                1.0 - losses.ssim(img, gt)
+            )
+            return loss, out["radii"]
+
+        def loss_fn(p, pr):
+            lpb, radii = jax.vmap(
+                lambda cam, gt: loss_one(p, pr, cam, gt), in_axes=(0, 0)
+            )(cams, gts)
+            return jnp.mean(lpb), radii
+
+        (loss, radii_b), (gparams, gprobe) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe)
+        gparams = jax.lax.with_sharding_constraint(gparams, gauss)
+        new_params, new_adam = opt.adam_step(params, gparams, adam, it, lrs, optim_cfg)
+        radii_max = jnp.max(radii_b, axis=0)
+        new_stats = dens.update_stats(stats, gprobe, radii_max)
+        return new_params, new_adam, new_stats, dict(loss=loss)
+
+    # Prefix pytrees: one sharding covers a whole argument subtree; AdamState
+    # needs a per-field spec because its step counter is a scalar.
+    adam_shardings = opt.AdamState(mu=gauss, nu=gauss, count=repl)
+    return jax.jit(
+        step_fn,
+        in_shardings=(gauss, gauss, adam_shardings, gauss, data, data, repl),
+        donate_argnums=(0, 2),
+    )

@@ -1,0 +1,70 @@
+"""High-level differentiable rasterization API.
+
+The TPU analog of `GaussianRasterizer.__call__`
+(diff_gaussian_rasterization/__init__.py:157-220): one function wires
+preprocess -> binning -> tiled compositing. Outputs mirror the reference's
+(render, radii, final_T, n_contrib) plus capacity diagnostics.
+
+Differentiable w.r.t. means3d, scales, quaternions, opacities, colors/shs and
+the ``ndc_offset`` screen-space probe (whose cotangent feeds densification,
+like viewspace_points.grad in gaussian_renderer/__init__.py:26-30).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from sugar_tpu.raster import common as rc
+from sugar_tpu.raster.binning import bin_gaussians
+from sugar_tpu.raster.preprocess import preprocess
+from sugar_tpu.raster.reference_impl import render_reference
+from sugar_tpu.raster.tiled import render_tiled
+
+
+def rasterize_gaussians(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    settings: rc.RasterSettings,
+    scales: jnp.ndarray | None = None,
+    quaternions: jnp.ndarray | None = None,
+    cov3d: jnp.ndarray | None = None,
+    colors: jnp.ndarray | None = None,
+    shs: jnp.ndarray | None = None,
+    alive_mask: jnp.ndarray | None = None,
+    ndc_offset: jnp.ndarray | None = None,
+    mode: str = "tiled",
+    dup_capacity: int | None = None,
+    k_max: int = 1024,
+    tile_chunk: int = 64,
+) -> dict[str, Any]:
+    """Render one view. Returns dict(image (H,W,C), radii, final_T, n_contrib,
+    plus overflow diagnostics for the tiled path)."""
+    prep = preprocess(
+        means3d,
+        opacities,
+        settings,
+        scales=scales,
+        quaternions=quaternions,
+        cov3d=cov3d,
+        colors=colors,
+        shs=shs,
+        alive_mask=alive_mask,
+        ndc_offset=ndc_offset,
+    )
+    if mode == "reference":
+        out = render_reference(prep, settings)
+    elif mode == "tiled":
+        if dup_capacity is None:
+            dup_capacity = 8 * means3d.shape[0]
+        binning = bin_gaussians(prep, settings, dup_capacity)
+        out = render_tiled(
+            prep, binning, settings, k_max=k_max, tile_chunk=tile_chunk
+        )
+        out["bin_overflow"] = binning.overflow
+        out["num_rendered"] = binning.num_rendered
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    out["radii"] = prep.radius
+    return out

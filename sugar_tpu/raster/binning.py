@@ -1,0 +1,84 @@
+"""Tile binning with static shapes: duplicate -> sort -> per-tile ranges.
+
+TPU-native replacement for the CUDA binning stage (rasterizer_impl.cu:70-138,
+277-314): cub's data-dependent prefix-sum + 64-bit radix sort become a
+fixed-capacity "dense expansion" plus a stable multi-key `lax.sort`:
+
+1. exclusive cumsum of per-Gaussian touched-tile counts gives duplication
+   offsets (as in cub InclusiveSum);
+2. every duplication slot d in [0, capacity) finds its source Gaussian with a
+   `searchsorted` over the offsets (scatter-free, static shape) and derives
+   its tile coordinate from d's position inside the Gaussian's tile rect
+   (same row-major order as duplicateWithKeys, rasterizer_impl.cu:70-111);
+3. a stable lexicographic sort on (tile_id, depth) reproduces the CUDA
+   [tileID | depth-bits] radix-sort order including tie behavior;
+4. per-tile [start, count) ranges come from two searchsorteds
+   (identifyTileRanges equivalent).
+
+Capacity is a static upper bound on total duplications; overflow (true total
+exceeding capacity) is reported so the caller can re-jit with a larger
+bucket — the analog of the CUDA resizable byte buffers
+(rasterizer_impl.cu:155-194) under XLA static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from sugar_tpu.raster import common as rc
+from sugar_tpu.raster.preprocess import Preprocessed
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Binning:
+    sorted_gauss: jnp.ndarray  # (capacity,) int32 gaussian index per dup slot
+    sorted_tile: jnp.ndarray  # (capacity,) int32 tile id (num_tiles = invalid)
+    tile_start: jnp.ndarray  # (num_tiles,) int32 offset into sorted arrays
+    tile_count: jnp.ndarray  # (num_tiles,) int32
+    num_rendered: jnp.ndarray  # () int32 true total duplications
+    overflow: jnp.ndarray  # () int32 dropped duplications (0 = exact)
+
+
+def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int) -> Binning:
+    n = prep.tiles_touched.shape[0]
+    num_tiles = settings.tiles_x * settings.tiles_y
+    counts = prep.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1]
+
+    d = jnp.arange(capacity, dtype=jnp.int32)
+    # Source gaussian of each dup slot: last g with offsets[g] <= d.
+    g = jnp.searchsorted(offsets, d, side="right").astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, n - 1)
+    local = d - offsets[g]
+    in_range = (d < total) & (local < counts[g])
+
+    rw = prep.rect_max[g, 0] - prep.rect_min[g, 0]
+    rw_safe = jnp.maximum(rw, 1)
+    tx = prep.rect_min[g, 0] + local % rw_safe
+    ty = prep.rect_min[g, 1] + local // rw_safe
+    tile_id = jnp.where(in_range, ty * settings.tiles_x + tx, num_tiles)
+
+    depth = jnp.where(in_range, prep.depth[g], jnp.inf).astype(jnp.float32)
+    # Stable lexicographic sort: primary tile, secondary depth; ties keep
+    # duplication order (== gaussian index order), matching CUDA radix sort.
+    sorted_tile, _, sorted_gauss = jax.lax.sort(
+        (tile_id, depth, g), dimension=0, num_keys=2, is_stable=True
+    )
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+
+    return Binning(
+        sorted_gauss=sorted_gauss,
+        sorted_tile=sorted_tile,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_rendered=total,
+        overflow=jnp.maximum(total - capacity, 0),
+    )

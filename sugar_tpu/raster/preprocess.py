@@ -1,0 +1,210 @@
+"""Per-Gaussian preprocessing: projection, EWA cov2D, conic, radius, tiles.
+
+TPU-native recast of the CUDA ``preprocessCUDA`` kernel
+(cuda_rasterizer/forward.cu:160-258): instead of one thread per Gaussian, the
+whole stage is a vectorized pure-JAX function over the (N, ...) parameter
+arrays — XLA fuses it into a handful of VPU loops; no Pallas needed here.
+
+Dead/culled Gaussians are signalled by ``tiles_touched == 0`` (matching the
+CUDA early-exit protocol) rather than by compaction, keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from sugar_tpu.core import quaternions as quat
+from sugar_tpu.core import sh as sh_lib
+from sugar_tpu.raster import common as rc
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Preprocessed:
+    """Per-Gaussian screen-space quantities (all shape (N, ...))."""
+
+    mean2d: jnp.ndarray  # (N, 2) pixel coords (ndc2Pix convention)
+    depth: jnp.ndarray  # (N,) view-space z
+    conic: jnp.ndarray  # (N, 3) inverse cov2D (a, b, c)
+    opacity: jnp.ndarray  # (N,)
+    color: jnp.ndarray  # (N, C) features to composite
+    radius: jnp.ndarray  # (N,) int32 pixel radius (0 = culled)
+    rect_min: jnp.ndarray  # (N, 2) int32 tile rect (x, y), inclusive
+    rect_max: jnp.ndarray  # (N, 2) int32 tile rect (x, y), exclusive
+    tiles_touched: jnp.ndarray  # (N,) int32
+
+
+def compute_cov3d(
+    scales: jnp.ndarray, quaternions: jnp.ndarray, scale_modifier: float = 1.0
+) -> jnp.ndarray:
+    """(N,3) scales + (N,4) unit quats -> (N,3,3) world covariance.
+
+    Sigma = R diag(s^2) R^T (forward.cu:118-152; quats are assumed already
+    normalized, as the model activations guarantee).
+    """
+    R = quat.quaternion_to_matrix(quaternions)
+    s2 = (scale_modifier * scales) ** 2
+    return jnp.einsum("nij,nj,nkj->nik", R, s2, R)
+
+
+def compute_cov2d(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    viewmatrix: jnp.ndarray,
+    focal_x: float,
+    focal_y: float,
+    tanfovx: float,
+    tanfovy: float,
+) -> jnp.ndarray:
+    """EWA projection of 3D covariance to 2D screen space (forward.cu:74-113).
+
+    Returns (N, 3) packed (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass
+    already added to the diagonal.
+    """
+    W = viewmatrix[:3, :3]
+    t = means3d @ W.T + viewmatrix[:3, 3]
+    # Guard: culled (z <= Z_CULL) Gaussians never contribute, but a 1/z at
+    # z ~ 0 would poison gradients with NaNs even under jnp.where masking —
+    # substitute a safe depth for them before any division.
+    tz = jnp.where(t[..., 2] > rc.Z_CULL, t[..., 2], 1.0)
+    limx = rc.FOV_CLAMP * tanfovx
+    limy = rc.FOV_CLAMP * tanfovy
+    tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows: d(pix)/d(cam xyz), third row dropped (forward.cu:89-93).
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+
+    # M = J @ W  (2x3), cov2d = M @ cov3d @ M^T  (2x2 symmetric).
+    zeros = jnp.zeros_like(j00)
+    Jm = jnp.stack(
+        [
+            jnp.stack([j00, zeros, j02], axis=-1),
+            jnp.stack([zeros, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    M = jnp.einsum("nij,jk->nik", Jm, W)  # (N, 2, 3)
+    cov = jnp.einsum("nij,njk,nlk->nil", M, cov3d, M)  # (N, 2, 2)
+    cxx = cov[..., 0, 0] + rc.LOWPASS
+    cyy = cov[..., 1, 1] + rc.LOWPASS
+    cxy = cov[..., 0, 1]
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    settings: rc.RasterSettings,
+    scales: jnp.ndarray | None = None,
+    quaternions: jnp.ndarray | None = None,
+    cov3d: jnp.ndarray | None = None,
+    colors: jnp.ndarray | None = None,
+    shs: jnp.ndarray | None = None,
+    alive_mask: jnp.ndarray | None = None,
+    ndc_offset: jnp.ndarray | None = None,
+) -> Preprocessed:
+    """Vectorized preprocess for all N Gaussians.
+
+    Either (scales, quaternions) or precomputed ``cov3d`` must be given;
+    either ``colors`` (N, C) or ``shs`` (N, C, K) must be given. An optional
+    ``alive_mask`` force-culls padded/dead slots (static-shape densification).
+    """
+    n = means3d.shape[0]
+    if cov3d is None:
+        cov3d = compute_cov3d(scales, quaternions, settings.scale_modifier)
+    if colors is None:
+        dirs = means3d - settings.campos
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        colors = sh_lib.sh_to_rgb(settings.sh_degree, shs, dirs)
+
+    # Projection (forward.cu:197-200).
+    depth = means3d @ settings.viewmatrix[2, :3] + settings.viewmatrix[2, 3]
+    in_front = depth > rc.Z_CULL
+    P = settings.projmatrix
+    p_hom = means3d @ P[:, :3].T + P[:, 3]
+    # NaN-grad guard for near-zero homogeneous w of culled Gaussians.
+    w_safe = jnp.where(in_front, p_hom[..., 3] + rc.W_EPS, 1.0)
+    p_w = 1.0 / w_safe
+    ndc = p_hom[..., :2] * p_w[..., None]
+    if ndc_offset is not None:
+        # Zero in value; its cotangent is the NDC-space screen gradient the
+        # densifier consumes (CUDA dL_dmean2D units, backward.cu:399-410).
+        ndc = ndc + ndc_offset
+
+    mean2d = jnp.stack(
+        [
+            ((ndc[..., 0] + 1.0) * settings.image_width - 1.0) * 0.5,
+            ((ndc[..., 1] + 1.0) * settings.image_height - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    cov2d = compute_cov2d(
+        means3d,
+        cov3d,
+        settings.viewmatrix,
+        settings.focal_x,
+        settings.focal_y,
+        settings.tanfovx,
+        settings.tanfovy,
+    )
+    cxx, cxy, cyy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = cxx * cyy - cxy * cxy
+    det_valid = det != 0.0
+    det_safe = jnp.where(det_valid, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
+
+    # Radius from eigenvalues (forward.cu:227-232).
+    mid = 0.5 * (cxx + cyy)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lam_max = mid + disc
+    radius_f = jnp.ceil(rc.RADIUS_SIGMA * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+
+    # Tile rect (auxiliary.h:46-56). int cast truncates toward zero as CUDA.
+    gx, gy = settings.tiles_x, settings.tiles_y
+    rmin_x = jnp.clip(
+        ((mean2d[..., 0] - radius_f) / rc.TILE_X).astype(jnp.int32), 0, gx
+    )
+    rmin_y = jnp.clip(
+        ((mean2d[..., 1] - radius_f) / rc.TILE_Y).astype(jnp.int32), 0, gy
+    )
+    rmax_x = jnp.clip(
+        ((mean2d[..., 0] + radius_f + rc.TILE_X - 1) / rc.TILE_X).astype(jnp.int32),
+        0,
+        gx,
+    )
+    rmax_y = jnp.clip(
+        ((mean2d[..., 1] + radius_f + rc.TILE_Y - 1) / rc.TILE_Y).astype(jnp.int32),
+        0,
+        gy,
+    )
+
+    alive = depth > rc.Z_CULL
+    alive &= det_valid
+    if alive_mask is not None:
+        alive &= alive_mask
+    tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+    tiles = jnp.where(alive, tiles, 0)
+    radius = jnp.where(tiles > 0, radius_f, 0.0).astype(jnp.int32)
+
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        opacity=opacities.reshape(n),
+        color=colors,
+        radius=radius,
+        rect_min=jnp.stack([rmin_x, rmin_y], axis=-1),
+        rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
+        tiles_touched=tiles,
+    )
