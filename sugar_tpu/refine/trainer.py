@@ -1,0 +1,241 @@
+"""Refinement training: joint mesh-vertex + surface-Gaussian optimization.
+
+Reference semantics (sugar_trainers/refine.py:17-894): bind SuGaR to the
+extracted mesh (bind_to_surface_mesh, :156-178) and optimize vertex
+positions, 2D scales, in-plane rotations, opacities, SH through the
+rasterizer. Loss = RGB (0.8 L1 + 0.2 DSSIM) + 0.1 * mesh normal
+consistency (:774-783). No densification (:173-175). Vertex LR uses the
+standard exponential schedule with spatial_lr_scale = 10 * bbox_radius /
+sqrt(n_vertices) (:455-460); position_lr_* are scaled by 0.01 relative to
+free-Gaussian training (coarse_sdf.py:... bind branch sets
+position_lr_init*0.01).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sugar_tpu.core.cameras import Camera
+from sugar_tpu.models.gaussians import GaussianParams
+from sugar_tpu.raster import common as rcm
+from sugar_tpu.raster.api import rasterize_gaussians
+from sugar_tpu.refine import bound as B
+from sugar_tpu.trainers import optimizer as opt
+from sugar_tpu.utils import losses
+
+
+@dataclasses.dataclass
+class RefineConfig:
+    num_iterations: int = 15_000  # 'long'; 'medium'=7000, 'short'=2000
+    n_gaussians_per_triangle: int = 1
+    dssim_factor: float = 0.2
+    normal_consistency_factor: float = 0.1
+    sh_degree: int = 3
+    sh_warmup_every: int = 1_000
+    white_background: bool = False
+    k_max: int = 1024
+    dup_capacity_mult: int = 8
+    log_every: int = 50
+    # reference refine position lrs = vanilla * 0.01 (coarse_sdf.py bind
+    # branch / refine.py).
+    position_lr_init: float = 0.00016 * 0.01
+    position_lr_final: float = 0.0000016 * 0.01
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-15
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoundAdamState:
+    mu: B.BoundParams
+    nu: B.BoundParams
+    count: jnp.ndarray
+
+
+def init_bound_adam(params: B.BoundParams) -> BoundAdamState:
+    z = jax.tree.map(jnp.zeros_like, params)
+    return BoundAdamState(mu=z, nu=jax.tree.map(jnp.zeros_like, params), count=jnp.zeros((), jnp.int32))
+
+
+def bound_lrs(cfg: RefineConfig, spatial_lr_scale: float):
+    sched = opt.expon_lr_schedule(
+        cfg.position_lr_init * spatial_lr_scale,
+        cfg.position_lr_final * spatial_lr_scale,
+        30_000,
+        lr_delay_mult=0.01,
+    )
+    const = lambda v: (lambda step: jnp.full((), v, jnp.float32))
+    return dict(
+        vertices=sched,
+        log_scales=const(cfg.scaling_lr),
+        complex_rot=const(cfg.rotation_lr),
+        opacity_logit=const(cfg.opacity_lr),
+        sh_dc=const(cfg.feature_lr),
+        sh_rest=const(cfg.feature_lr / 20.0),
+    )
+
+
+def bound_adam_step(params, grads, state, step, lrs, cfg: RefineConfig):
+    count = state.count + 1
+    b1, b2 = cfg.beta1, cfg.beta2
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+    new_p, new_mu, new_nu = {}, {}, {}
+    for f in dataclasses.fields(B.BoundParams):
+        name = f.name
+        p = getattr(params, name)
+        g = getattr(grads, name)
+        mu = b1 * getattr(state.mu, name) + (1 - b1) * g
+        nu = b2 * getattr(state.nu, name) + (1 - b2) * g * g
+        lr = lrs[name](step)
+        new_p[name] = p - lr * (mu / c1) / (jnp.sqrt(nu / c2) + cfg.eps)
+        new_mu[name] = mu
+        new_nu[name] = nu
+    return B.BoundParams(**new_p), BoundAdamState(
+        mu=B.BoundParams(**new_mu), nu=B.BoundParams(**new_nu), count=count
+    )
+
+
+def render_bound(
+    params: B.BoundParams,
+    bm: B.BoundMesh,
+    camera: Camera,
+    active_sh_degree: int,
+    bg: jnp.ndarray,
+    dup_capacity: int,
+    k_max: int,
+):
+    arrs = B.to_gaussian_arrays(params, bm)
+    settings = dataclasses.replace(
+        rcm.from_camera(camera, bg=bg), sh_degree=active_sh_degree
+    )
+    k = (active_sh_degree + 1) ** 2
+    return rasterize_gaussians(
+        arrs["centers"],
+        arrs["opacities"],
+        settings,
+        scales=arrs["scales"],
+        quaternions=arrs["quaternions"],
+        shs=arrs["sh"][:, :, :k],
+        mode="tiled",
+        dup_capacity=dup_capacity,
+        k_max=k_max,
+    )
+
+
+def make_refine_step(
+    cfg: RefineConfig,
+    bm: B.BoundMesh,
+    pairs: jnp.ndarray,
+    lrs,
+    active_sh_degree: int,
+    dup_capacity: int,
+):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params: B.BoundParams, adam: BoundAdamState, camera: Camera, gt, it):
+        bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+
+        def loss_fn(p):
+            out = render_bound(p, bm, camera, active_sh_degree, bg, dup_capacity, cfg.k_max)
+            img = jnp.clip(out["image"], 0.0, 1.0)
+            loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + cfg.dssim_factor * (
+                1.0 - losses.ssim(img, gt)
+            )
+            loss = loss + cfg.normal_consistency_factor * B.normal_consistency_loss(
+                p.vertices, bm.faces, pairs
+            )
+            return loss, dict(psnr=losses.psnr(img, gt), bin_overflow=out["bin_overflow"])
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        new_params, new_adam = bound_adam_step(params, grads, adam, it, lrs, cfg)
+        aux["loss"] = loss
+        return new_params, new_adam, aux
+
+    return step_fn
+
+
+def refined_training(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    vertex_colors: np.ndarray | None,
+    cameras: list[Camera],
+    images: list[np.ndarray],
+    extent: float,
+    cfg: RefineConfig = RefineConfig(),
+    seed: int = 0,
+    log_fn: Callable[[dict], None] | None = None,
+    init_sh_dc: np.ndarray | None = None,
+) -> tuple[B.BoundParams, B.BoundMesh]:
+    """Run refinement; returns the optimized bound parameters."""
+    params, bm = B.init_bound_params(
+        vertices, faces, vertex_colors,
+        n_gaussians_per_triangle=cfg.n_gaussians_per_triangle,
+        extent=extent, sh_degree=cfg.sh_degree,
+    )
+    if init_sh_dc is not None:
+        params = dataclasses.replace(params, sh_dc=jnp.asarray(init_sh_dc))
+    pairs = jnp.asarray(B.normal_consistency_pairs(faces))
+    # spatial_lr_scale = 10 * bbox_radius / sqrt(V) (refine.py:455-460).
+    bbox_radius = 0.5 * float(np.linalg.norm(vertices.max(0) - vertices.min(0)))
+    spatial_lr_scale = 10.0 * bbox_radius / np.sqrt(max(len(vertices), 1))
+    lrs = bound_lrs(cfg, spatial_lr_scale)
+    adam = init_bound_adam(params)
+    dup_capacity = cfg.dup_capacity_mult * params.opacity_logit.shape[0]
+
+    order_rng = np.random.default_rng(seed)
+    cam_order: list[int] = []
+    step_cache: dict[int, Callable] = {}
+    t0 = time.time()
+
+    for it in range(cfg.num_iterations):
+        deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
+        if deg not in step_cache:
+            step_cache[deg] = make_refine_step(cfg, bm, pairs, lrs, deg, dup_capacity)
+        if not cam_order:
+            cam_order = list(order_rng.permutation(len(cameras)))
+        ci = cam_order.pop()
+        params, adam, aux = step_cache[deg](
+            params, adam, cameras[ci], jnp.asarray(images[ci]), jnp.asarray(it, jnp.int32)
+        )
+        if log_fn and ((it + 1) % cfg.log_every == 0):
+            log_fn(
+                dict(
+                    iter=it + 1,
+                    loss=float(aux["loss"]),
+                    psnr=float(aux["psnr"]),
+                    elapsed_s=time.time() - t0,
+                )
+            )
+    return params, bm
+
+
+def export_refined_ply(params: B.BoundParams, bm: B.BoundMesh, path: str) -> None:
+    """Export refined Gaussians as a 3DGS PLY for the web viewer
+    (refine.py:877-892 convert_refined_sugar_into_gaussians)."""
+    import numpy as np
+
+    from sugar_tpu.io import ply as ply_io
+
+    arrs = B.to_gaussian_arrays(params, bm)
+    sh = np.asarray(arrs["sh"])
+    ply_io.save_gaussian_ply(
+        path,
+        xyz=np.asarray(arrs["centers"]),
+        sh_dc=sh[:, :, 0],
+        sh_rest=sh[:, :, 1:],
+        opacity_logit=np.asarray(params.opacity_logit),
+        log_scales=np.log(np.maximum(np.asarray(arrs["scales"]), 1e-10)),
+        quaternions=np.asarray(arrs["quaternions"]),
+    )
