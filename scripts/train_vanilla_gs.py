@@ -1,0 +1,21 @@
+#!/usr/bin/env python
+"""Vanilla 3DGS training CLI (gaussian_splatting/train.py equivalent)."""
+
+import argparse
+
+from sugar_tpu.pipeline import PipelineConfig, load_scene, run_vanilla
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("-s", "--scene_path", required=True)
+    p.add_argument("-o", "--output_dir", default="./output")
+    p.add_argument("--iterations", type=int, default=7000)
+    p.add_argument("--white_background", action="store_true")
+    args = p.parse_args()
+    cfg = PipelineConfig(
+        scene_path=args.scene_path,
+        output_dir=args.output_dir,
+        vanilla_iterations=args.iterations,
+        white_background=args.white_background,
+    )
+    print("checkpoint:", run_vanilla(cfg, load_scene(cfg)))

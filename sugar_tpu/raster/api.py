@@ -64,6 +64,18 @@ def rasterize_gaussians(
         )
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered
+    elif mode == "pallas":
+        # Top-of-function import would be circular-free too, but keep it
+        # lazy for CPU-only users; safe now that the module has no
+        # trace-hostile import-time jnp ops.
+        from sugar_tpu.raster.pallas_render import render_pallas
+
+        if dup_capacity is None:
+            dup_capacity = 8 * means3d.shape[0]
+        binning = bin_gaussians(prep, settings, dup_capacity)
+        out = render_pallas(prep, binning, settings, max_per_tile=k_max)
+        out["bin_overflow"] = binning.overflow
+        out["num_rendered"] = binning.num_rendered
     else:
         raise ValueError(f"unknown mode: {mode}")
     out["radii"] = prep.radius

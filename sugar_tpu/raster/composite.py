@@ -24,12 +24,14 @@ matching the CUDA backward which treats inclusion as constant.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
 
-LOG_T_EPS = float(jnp.log(rc.T_EPS))
+LOG_T_EPS = math.log(rc.T_EPS)
 
 
 def alpha_from_conic(
@@ -47,7 +49,11 @@ def alpha_from_conic(
     dx, dy = d[..., 0], d[..., 1]
     a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(rc.ALPHA_CLAMP, opacity[:, None] * jnp.exp(power))
+    raw = opacity[:, None] * jnp.exp(power)
+    # Straight-through 0.99 clamp: the CUDA backward ignores the clamp when
+    # chaining d(alpha)/d(opacity, power) (backward.cu:509-554), so the
+    # value is clamped but the gradient is the unclamped one.
+    alpha = raw + jax.lax.stop_gradient(jnp.minimum(rc.ALPHA_CLAMP, raw) - raw)
     keep = (power <= 0.0) & (alpha >= rc.ALPHA_CUTOFF) & valid[:, None]
     return jnp.where(keep, alpha, 0.0)
 

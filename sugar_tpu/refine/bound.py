@@ -190,6 +190,83 @@ def to_gaussian_arrays(params: BoundParams, bm: BoundMesh):
     )
 
 
+def edited_quaternions_and_scales(
+    params: BoundParams,
+    bm: BoundMesh,
+    reference_vertices: jnp.ndarray,  # (V, 3) undeformed mesh
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deformation transfer for edited/animated meshes
+    (sugar_model.py:573-667 get_edited_quaternions_and_scales): when the
+    bound mesh is deformed (e.g. by Blender-exported animation), the
+    in-plane rotations and scales of the bound Gaussians are adjusted so
+    they follow the local triangle deformation instead of staying rigid.
+
+    Returns (quaternions (G, 4), scales (G, 3))."""
+    gpt = bm.n_per_triangle
+    fv = params.vertices[bm.faces]  # (F, 3, 3) deformed
+    rv = reference_vertices[bm.faces]  # (F, 3, 3) reference
+
+    def unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+    _, n0 = face_geometry(params.vertices, bm.faces)
+    base1 = unit(fv[:, 0] - fv[:, 1])
+    base2 = unit(jnp.cross(n0, base1))
+
+    # Per-corner angular deviation between reference and deformed edges.
+    ref_base = unit(rv[:, 0:1] - rv[:, 1:2])
+    ref_axis = unit(rv - jnp.mean(rv, axis=-2, keepdims=True))
+    ref_axis = ref_axis.at[:, 2].multiply(-1.0)
+    cur_base = unit(fv[:, 0:1] - fv[:, 1:2])
+    cur_axis = unit(fv - jnp.mean(fv, axis=-2, keepdims=True))
+    cur_axis = cur_axis.at[:, 2].multiply(-1.0)
+    ref_ang = jnp.arccos(
+        jnp.clip(jnp.sum(ref_axis * ref_base, axis=-1, keepdims=True), -1.0, 1.0)
+    )
+    cur_ang = jnp.arccos(
+        jnp.clip(jnp.sum(cur_axis * cur_base, axis=-1, keepdims=True), -1.0, 1.0)
+    )
+    angles = cur_ang - ref_ang  # (F, 3, 1)
+    pt_ang = jnp.einsum("fvc,gv->fgc", angles, bm.bary)[..., 0]  # (F, gpt)
+
+    adj = jnp.stack([jnp.cos(pt_ang), jnp.sin(pt_ang)], axis=-1)  # (F, gpt, 2)
+    c = params.complex_rot / jnp.maximum(
+        jnp.linalg.norm(params.complex_rot, axis=-1, keepdims=True), 1e-12
+    )
+    c = c.reshape(-1, gpt, 2)
+    x, y = c[..., 0], c[..., 1]
+    a, b = adj[..., 0], adj[..., 1]
+    c_adj = jnp.stack([x * a - y * b, x * b + y * a], axis=-1)
+
+    r1 = c_adj[..., 0:1] * base1[:, None] + c_adj[..., 1:2] * base2[:, None]
+    r2 = -c_adj[..., 1:2] * base1[:, None] + c_adj[..., 0:1] * base2[:, None]
+    r0 = jnp.broadcast_to(n0[:, None], r1.shape)
+    R = jnp.stack([r0, r1, r2], axis=-1).reshape(-1, 3, 3)
+    quats = matrix_to_quaternion(R)
+
+    # Scale adjustment: stretch along each corner's center-axis by the edge
+    # length ratio (sugar_model.py:633-659).
+    cur_ax = jnp.mean(fv, axis=-2, keepdims=True) - fv  # (F, 3, 3)
+    cur_ax_n = jnp.linalg.norm(cur_ax, axis=-1, keepdims=True)
+    cur_ax_u = unit(cur_ax)
+    cur_orth = jnp.cross(cur_ax_u, n0[:, None])
+    ref_ax = jnp.mean(rv, axis=-2, keepdims=True) - rv
+    ref_ax_n = jnp.maximum(jnp.linalg.norm(ref_ax, axis=-1, keepdims=True), 1e-12)
+
+    def corner_scale(rdir):  # rdir: (F, gpt, 3)
+        ax_p = jnp.sum(rdir[:, :, None] * cur_ax_u[:, None], axis=-1, keepdims=True)
+        or_p = jnp.sum(rdir[:, :, None] * cur_orth[:, None], axis=-1, keepdims=True)
+        s = jnp.sqrt((ax_p * cur_ax_n[:, None] / ref_ax_n[:, None]) ** 2 + or_p**2)
+        return jnp.einsum("fgvc,gv->fgc", s, bm.bary)[..., 0]  # (F, gpt)
+
+    s1 = corner_scale(r1)
+    s2 = corner_scale(r2)
+    plane = jnp.exp(params.log_scales).reshape(-1, gpt, 2)
+    plane = jnp.stack([plane[..., 0] * s1, plane[..., 1] * s2], axis=-1).reshape(-1, 2)
+    th = jnp.broadcast_to(bm.thickness, (plane.shape[0], 1))
+    return quats, jnp.concatenate([th, plane], axis=-1)
+
+
 def normal_consistency_pairs(faces: np.ndarray) -> np.ndarray:
     """(P, 2) adjacent-face index pairs sharing an edge — host-side setup for
     the normal-consistency loss (replaces PyTorch3D mesh_normal_consistency,
