@@ -158,11 +158,16 @@ def save_ply(model: GaussianModel, path: str) -> None:
     )
 
 
-def load_ply(path: str, capacity: int | None = None, sh_degree: int = 3) -> GaussianModel:
+def load_ply(path: str, capacity: int | None = None, sh_degree: int | None = None) -> GaussianModel:
     """Load a 3DGS PLY into a padded model (capacity defaults to the count
-    rounded up to a multiple of 256)."""
+    rounded up to a multiple of 256). ``sh_degree`` is inferred from the
+    f_rest attribute count when not given (load_ply semantics,
+    gaussian_model.py:216-231)."""
     d = ply_io.load_gaussian_ply(path)
     n = d["xyz"].shape[0]
+    if sh_degree is None:
+        k_total = d["sh_rest"].shape[-1] + 1
+        sh_degree = int(round(np.sqrt(k_total))) - 1
     k = sh_lib.num_sh_coeffs(sh_degree)
     assert d["sh_rest"].shape[-1] == k - 1, (
         f"PLY has {d['sh_rest'].shape[-1]} rest coeffs, expected {k - 1}"

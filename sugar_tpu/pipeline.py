@@ -46,6 +46,11 @@ class PipelineConfig:
     resolution_factor: int = 1
     vanilla_iterations: int = 7_000
     capacity: int = 2**19
+    # Optional stage-config overrides (tests / experimentation).
+    vanilla_overrides: dict = dataclasses.field(default_factory=dict)
+    coarse_overrides: dict = dataclasses.field(default_factory=dict)
+    extract_overrides: dict = dataclasses.field(default_factory=dict)
+    refine_overrides: dict = dataclasses.field(default_factory=dict)
 
     @property
     def n_vertices_in_mesh(self) -> int:
@@ -73,11 +78,13 @@ def load_scene(cfg: PipelineConfig) -> ds.SceneData:
 def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
     """Stage 0: prerequisite vanilla 3DGS (gaussian_splatting/train.py)."""
     train_idx, _ = scene.split(cfg.eval_split)
-    tcfg = TrainConfig(
+    tkw = dict(
         iterations=cfg.vanilla_iterations,
         capacity=cfg.capacity,
         white_background=cfg.white_background,
     )
+    tkw.update(cfg.vanilla_overrides)
+    tcfg = TrainConfig(**tkw)
     state = train_vanilla_3dgs(
         [scene.cameras[i] for i in train_idx],
         [scene.images[i] for i in train_idx],
@@ -106,7 +113,9 @@ def run_coarse(cfg: PipelineConfig, scene: ds.SceneData, gs_ckpt: str, log_fn=pr
     model = gm.load_ply(gs_ckpt)
     train_idx, _ = scene.split(cfg.eval_split)
     mode = "density" if cfg.regularization == "density" else "sdf"
-    ccfg = CoarseConfig(mode=mode, white_background=cfg.white_background)
+    ckw = dict(mode=mode, white_background=cfg.white_background)
+    ckw.update(cfg.coarse_overrides)
+    ccfg = CoarseConfig(**ckw)
     model = train_coarse(
         model,
         [scene.cameras[i] for i in train_idx],
@@ -125,10 +134,12 @@ def run_extract_mesh(cfg: PipelineConfig, scene: ds.SceneData, coarse_ckpt: str,
     """Stage 2: level-set sampling + Poisson + decimation (extract_mesh)."""
     model = gm.load_ply(coarse_ckpt)
     train_idx, _ = scene.split(cfg.eval_split)
-    ecfg = ExtractConfig(
+    ekw = dict(
         surface_level=cfg.surface_level,
         decimation_target=cfg.n_vertices_in_mesh,
     )
+    ekw.update(cfg.extract_overrides)
+    ecfg = ExtractConfig(**ekw)
     out = os.path.join(
         cfg.output_dir,
         "coarse_mesh",
@@ -146,11 +157,13 @@ def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=
     verts, faces, colors = ply_io.load_mesh_ply(mesh_path)
     vc = colors.astype(np.float32) / 255.0 if colors is not None else None
     train_idx, _ = scene.split(cfg.eval_split)
-    rcfg = RefineConfig(
+    rkw = dict(
         num_iterations=cfg.refinement_iterations,
         n_gaussians_per_triangle=cfg.gaussians_per_triangle,
         white_background=cfg.white_background,
     )
+    rkw.update(cfg.refine_overrides)
+    rcfg = RefineConfig(**rkw)
     params, bm = refined_training(
         verts,
         faces.astype(np.int64),

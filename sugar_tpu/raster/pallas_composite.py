@@ -296,7 +296,7 @@ def _make_fwd(tiles_x, num_tiles, ch, max_chunks):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
         out_specs=[
             pl.BlockSpec((1, P_TILE, ch), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_TILE, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -326,15 +326,15 @@ def _make_bwd(tiles_x, num_tiles, ch, max_chunks, capacity_pad):
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, P_TILE, ch), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_TILE, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_TILE, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
         scratch_shapes=[
             pltpu.VMEM((2, C_CHUNK), jnp.float32),
             pltpu.VMEM((3, C_CHUNK), jnp.float32),

@@ -1,10 +1,12 @@
-"""Host-side wrapper: binning output -> dup-order gather -> Pallas kernel.
+"""Host-side wrapper: binning output -> aligned dup-order gather -> Pallas.
 
-Completes the production render path: the differentiable pre-gather puts
-per-Gaussian screen-space data into duplication order (its autodiff
-transpose is the scatter-add that reduces per-dup-slot gradients back onto
-Gaussians), the Pallas kernel composites per tile, and the tile outputs are
-assembled into the image exactly like raster.tiled.
+Completes the production render path. Mosaic requires DMA slice offsets
+along the lane dimension to be divisible by the tiling (128), so each tile's
+duplication range is re-laid-out to start on a C_CHUNK boundary: a second
+gather maps aligned slots back to the [tile|depth]-sorted order, padding
+slots with opacity-0 entries (inert under the kernel's cutoff gates). The
+pre-gather is differentiable — its transpose is the scatter-add that
+reduces per-dup-slot gradients back onto Gaussians.
 """
 
 from __future__ import annotations
@@ -23,39 +25,43 @@ def render_pallas(
     binning: Binning,
     settings: rc.RasterSettings,
     max_per_tile: int = 8192,
-    interpret: bool = False,
 ) -> dict:
-    del interpret  # (interpret mode is selected globally via pltpu helpers)
     tx_n, ty_n = settings.tiles_x, settings.tiles_y
     num_tiles = tx_n * ty_n
     ch = prep.color.shape[-1]
     max_chunks = max(1, (max_per_tile + C_CHUNK - 1) // C_CHUNK)
 
     capacity = binning.sorted_gauss.shape[0]
-    gid = binning.sorted_gauss
-    # Differentiable pre-gather into component-major dup order (comp, D);
-    # padded by one chunk so the kernel's fixed-size DMAs never run off the
-    # end. The lane axis is the dup axis — chunk DMAs stay 128-aligned.
-    pad = C_CHUNK
-    dup_mean = jnp.pad(prep.mean2d[gid].T, ((0, 0), (0, pad)))
-    dup_conic = jnp.pad(prep.conic[gid].T, ((0, 0), (0, pad)))
-    dup_opac = jnp.pad(prep.opacity[gid][None, :], ((0, 0), (0, pad)))
-    dup_color = jnp.pad(prep.color[gid].T, ((0, 0), (0, pad)))
-
     count_clip = jnp.minimum(binning.tile_count, max_chunks * C_CHUNK)
-    # Slots owned by some tile's processed range (for bwd garbage masking).
-    slot = jnp.arange(capacity + pad, dtype=jnp.int32)
-    tile_of_slot = jnp.pad(binning.sorted_tile, (0, pad), constant_values=num_tiles)
-    safe_tile = jnp.clip(tile_of_slot, 0, num_tiles - 1)
-    within = (
-        slot - binning.tile_start[safe_tile] < count_clip[safe_tile]
-    ) & (tile_of_slot < num_tiles)
-    slot_mask = within.astype(jnp.float32)[None, :]
+
+    # ---- aligned re-layout: every tile range starts on a chunk boundary.
+    aligned_counts = ((count_clip + C_CHUNK - 1) // C_CHUNK) * C_CHUNK
+    aligned_start = jnp.cumsum(aligned_counts) - aligned_counts  # (T,)
+    d_al = capacity + C_CHUNK * num_tiles  # static upper bound
+
+    s = jnp.arange(d_al, dtype=jnp.int32)
+    t = jnp.clip(
+        jnp.searchsorted(aligned_start, s, side="right").astype(jnp.int32) - 1,
+        0,
+        num_tiles - 1,
+    )
+    local = s - aligned_start[t]
+    total_aligned = aligned_start[-1] + aligned_counts[-1]
+    valid = (local < count_clip[t]) & (s < total_aligned)
+    src_slot = jnp.clip(binning.tile_start[t] + local, 0, capacity - 1)
+    gid = jnp.where(valid, binning.sorted_gauss[src_slot], 0)
+
+    # Differentiable pre-gather into component-major aligned dup order.
+    dup_mean = prep.mean2d[gid].T  # (2, D)
+    dup_conic = prep.conic[gid].T  # (3, D)
+    dup_opac = jnp.where(valid, prep.opacity[gid], 0.0)[None, :]  # (1, D)
+    dup_color = prep.color[gid].T  # (CH, D)
+    slot_mask = valid.astype(jnp.float32)[None, :]
 
     shape_info = (tx_n, num_tiles, ch, max_chunks)
     img_t, final_t, n_contrib = tile_composite(
         shape_info,
-        binning.tile_start,
+        aligned_start,
         count_clip,
         slot_mask,
         dup_mean,
