@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
 from sugar_tpu.raster.binning import Binning
-from sugar_tpu.raster.pallas_composite import C_CHUNK, tile_composite
+from sugar_tpu.raster.pallas_composite import C_CHUNK, pack_dup, tile_composite
 from sugar_tpu.raster.preprocess import Preprocessed
 
 
@@ -51,11 +51,13 @@ def render_pallas(
     src_slot = jnp.clip(binning.tile_start[t] + local, 0, capacity - 1)
     gid = jnp.where(valid, binning.sorted_gauss[src_slot], 0)
 
-    # Differentiable pre-gather into component-major aligned dup order.
-    dup_mean = prep.mean2d[gid].T  # (2, D)
-    dup_conic = prep.conic[gid].T  # (3, D)
-    dup_opac = jnp.where(valid, prep.opacity[gid], 0.0)[None, :]  # (1, D)
-    dup_color = prep.color[gid].T  # (CH, D)
+    # Differentiable pre-gather into one packed component-major array.
+    dup_data = pack_dup(
+        prep.mean2d[gid],
+        prep.conic[gid],
+        jnp.where(valid, prep.opacity[gid], 0.0),
+        prep.color[gid],
+    )  # (ROWS, D)
     slot_mask = valid.astype(jnp.float32)[None, :]
 
     shape_info = (tx_n, num_tiles, ch, max_chunks)
@@ -64,10 +66,7 @@ def render_pallas(
         aligned_start,
         count_clip,
         slot_mask,
-        dup_mean,
-        dup_conic,
-        dup_opac,
-        dup_color,
+        dup_data,
         settings.bg,
     )
 

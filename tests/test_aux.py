@@ -1,0 +1,182 @@
+"""Tests for auxiliary subsystems: checkpointing, profiling, network GUI
+protocol, Blender interop, compositor."""
+
+import json
+import socket
+import struct
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from sugar_tpu.models.gaussians import create_from_pcd
+        from sugar_tpu.trainers import optimizer as opt
+        from sugar_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        g = np.random.default_rng(0)
+        m = create_from_pcd(
+            g.normal(size=(16, 3)).astype(np.float32),
+            g.uniform(0, 1, (16, 3)).astype(np.float32),
+            capacity=32,
+            sh_degree=1,
+        )
+        adam = opt.init_adam(m.params)
+        state = dict(params=m.params, alive=m.alive, adam=adam, iteration=jnp.asarray(123))
+        p = str(tmp_path / "ckpt")
+        save_checkpoint(p, state)
+        restored = load_checkpoint(p, state)
+        np.testing.assert_allclose(
+            np.asarray(restored["params"]["xyz"]), np.asarray(m.params.xyz)
+        )
+        assert int(np.asarray(restored["iteration"])) == 123
+
+    def test_milestone_path(self):
+        from sugar_tpu.utils.checkpoint import milestone_path
+
+        assert milestone_path("/x", 15000).endswith("milestone_15000")
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        from sugar_tpu.utils.profiling import StageTimer
+
+        t = StageTimer()
+        with t.time("a"):
+            x = jnp.zeros(8) + 1
+        with t.time("a", block_on=x):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert s["a"]["total_s"] >= 0
+
+
+class TestNetworkGUI:
+    def test_protocol_roundtrip(self):
+        from sugar_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(port=0)
+        host, port = gui.listener.getsockname()
+
+        h = w = 4
+        msg = dict(
+            resolution_x=w, resolution_y=h, fov_x=1.0, fov_y=1.0,
+            view_matrix=list(np.eye(4).reshape(-1)),
+            view_projection_matrix=list(np.eye(4).reshape(-1)),
+        )
+        received = {}
+
+        def client():
+            c = socket.create_connection((host, port), timeout=5)
+            payload = json.dumps(msg).encode()
+            c.sendall(struct.pack("<I", len(payload)) + payload)
+            data = b""
+            while len(data) < h * w * 3:
+                data += c.recv(4096)
+            received["img"] = data[: h * w * 3]
+            c.close()
+
+        th = threading.Thread(target=client)
+        th.start()
+        import time
+
+        for _ in range(100):
+            out = gui.poll(lambda m: np.full((h, w, 3), 0.5))
+            if out is not None:
+                break
+            time.sleep(0.02)
+        th.join(timeout=5)
+        gui.close()
+        assert out is not None
+        img = np.frombuffer(received["img"], np.uint8)
+        assert (img == 127).all() or (img == 128).all()
+
+    def test_camera_from_message(self):
+        from sugar_tpu.viewer.network_gui import camera_from_message
+
+        msg = dict(
+            resolution_x=32, resolution_y=24, fov_x=1.0, fov_y=0.8,
+            view_matrix=list(np.eye(4).reshape(-1)),
+            view_projection_matrix=list(np.eye(4).reshape(-1)),
+        )
+        cam = camera_from_message(msg)
+        assert cam.width == 32 and cam.height == 24
+        np.testing.assert_allclose(np.asarray(cam.cam_center), 0.0, atol=1e-6)
+
+
+class TestBlenderInterop:
+    def test_trajectory(self, tmp_path):
+        from sugar_tpu.io.blender_interop import load_camera_trajectory
+
+        m = np.eye(4)
+        m[2, 3] = 3.0  # camera at z=3 (Blender axes)
+        p = str(tmp_path / "traj.json")
+        with open(p, "w") as f:
+            json.dump(dict(frames=[dict(matrix_world=m.tolist(), lens=50.0)]), f)
+        cams = load_camera_trajectory(p, height=48, width=64)
+        assert len(cams) == 1
+        np.testing.assert_allclose(
+            np.asarray(cams[0].cam_center), [0, 0, 3.0], atol=1e-5
+        )
+
+    def test_animation_transforms(self, tmp_path):
+        from sugar_tpu.io.blender_interop import load_animation_transforms
+
+        p = str(tmp_path / "anim.json")
+        with open(p, "w") as f:
+            json.dump(
+                [[dict(R=np.eye(3).tolist(), t=[1, 2, 3])]], f
+            )
+        frames = load_animation_transforms(p)
+        assert len(frames) == 1
+        np.testing.assert_allclose(frames[0][0]["t"], [1, 2, 3])
+
+
+class TestCompositor:
+    def test_two_sets_composite(self):
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.models.compositor import GaussianSet, composite_render
+
+        g = np.random.default_rng(0)
+
+        def mk(shift_x, color):
+            n = 30
+            centers = g.normal(size=(n, 3)).astype(np.float32) * 0.2
+            centers[:, 0] += shift_x
+            centers[:, 2] += 3.0
+            return GaussianSet(
+                centers=jnp.asarray(centers),
+                scales=jnp.full((n, 3), 0.1),
+                quaternions=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (n, 1)),
+                opacities=jnp.full((n,), 0.9),
+                colors=jnp.tile(jnp.asarray([color]), (n, 1)),
+            )
+
+        cam = make_camera(R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=32, width=32)
+        out = composite_render(
+            [mk(-0.7, [1.0, 0, 0]), mk(0.7, [0.0, 0, 1.0])], cam, k_max=128
+        )
+        img = np.asarray(out["image"])
+        # Left half red-dominant, right half blue-dominant.
+        assert img[:, :16, 0].sum() > img[:, :16, 2].sum()
+        assert img[:, 16:, 2].sum() > img[:, 16:, 0].sum()
+
+    def test_transform_applied(self):
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.models.compositor import GaussianSet, composite_render
+
+        s = GaussianSet(
+            centers=jnp.asarray([[0.0, 0, 3.0]]),
+            scales=jnp.full((1, 3), 0.15),
+            quaternions=jnp.asarray([[1.0, 0, 0, 0]]),
+            opacities=jnp.asarray([0.95]),
+            colors=jnp.asarray([[1.0, 1, 1]]),
+            transform_R=jnp.eye(3),
+            transform_t=jnp.asarray([0.8, 0.0, 0.0]),
+        )
+        cam = make_camera(R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=32, width=32)
+        img = np.asarray(composite_render([s], cam, k_max=32)["image"])
+        # Blob renders on the right side after the +x translation.
+        assert img[:, 16:].sum() > img[:, :16].sum()
