@@ -63,7 +63,7 @@ def extract_mesh_from_gaussian_centers(
     centers, (normals,) = meshops.remove_statistical_outliers(centers, [normals])
     res = poisson_reconstruct(centers, normals, resolution=poisson_resolution)
     v, f = remove_low_density_vertices(res, density_quantile)
-    v, f = meshops.decimate_vertex_clustering(v, f, decimation_target)
+    v, f = meshops.decimate(v, f, decimation_target)
     return meshops.clean_mesh(v, f)
 
 
@@ -104,5 +104,5 @@ def extract_mesh_with_marching_cubes(
     verts_g, faces = surface_nets(field, surface_level)
     verts = verts_g * scale + origin
     if decimation_target:
-        verts, faces = meshops.decimate_vertex_clustering(verts, faces, decimation_target)
+        verts, faces = meshops.decimate(verts, faces, decimation_target)
     return meshops.clean_mesh(verts.astype(np.float32), faces)

@@ -105,7 +105,7 @@ def extract_mesh_from_coarse_model(
         )
         res = poisson_reconstruct(p, nrm, resolution=cfg.poisson_resolution)
         v, f = remove_low_density_vertices(res, cfg.vertices_density_quantile)
-        v, f = meshops.decimate_vertex_clustering(v, f, n_dec)
+        v, f = meshops.decimate(v, f, n_dec)
         v, f = meshops.clean_mesh(v, f)
         parts.append((v, f))
 

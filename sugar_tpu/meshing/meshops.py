@@ -66,6 +66,22 @@ def clean_mesh(vertices: np.ndarray, faces: np.ndarray):
     return new_vertices[used], remap[faces]
 
 
+def decimate(vertices: np.ndarray, faces: np.ndarray, target_vertices: int):
+    """Decimate to ~target_vertices: quadric error metrics via the native
+    C++ library (sugar_tpu.native.qem, Garland-Heckbert — the o3d
+    simplify_quadric_decimation equivalent), falling back to vertex
+    clustering if the toolchain is unavailable."""
+    if len(vertices) <= target_vertices or len(faces) == 0:
+        return vertices.copy(), faces.copy()
+    try:
+        from sugar_tpu.native import qem_decimate
+
+        v, f = qem_decimate(vertices, faces, target_vertices)
+        return clean_mesh(v, f)
+    except Exception:
+        return decimate_vertex_clustering(vertices, faces, target_vertices)
+
+
 def decimate_vertex_clustering(
     vertices: np.ndarray, faces: np.ndarray, target_vertices: int
 ):

@@ -61,9 +61,26 @@ R_OP = 5
 R_COL = 6  # 6 .. 6+CH
 
 
+CUMSUM_IMPL = "scan"  # "scan" (Hillis-Steele rolls, VPU) or "matmul" (MXU)
+
+
 def _cumsum1(x):
-    """Inclusive cumulative sum along axis 1 of (P, C_CHUNK): x @ U with
-    U[j, i] = 1 for j <= i. MXU matmul (no cumsum primitive in Mosaic)."""
+    """Inclusive cumulative sum along axis 1 of (P, C_CHUNK).
+
+    Mosaic has no cumsum primitive. Two formulations:
+    - "scan": log2(C) Hillis-Steele steps with lane rolls — O(C log C) VPU
+      work, avoids fp32 MXU passes;
+    - "matmul": x @ upper-triangular ones on the MXU.
+    """
+    if CUMSUM_IMPL == "scan":
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = x
+        sh = 1
+        while sh < C_CHUNK:
+            rolled = pltpu.roll(y, sh, 1)
+            y = y + jnp.where(col >= sh, rolled, 0.0)
+            sh *= 2
+        return y
     row = jax.lax.broadcasted_iota(jnp.int32, (C_CHUNK, C_CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (C_CHUNK, C_CHUNK), 1)
     upper = (row <= col).astype(jnp.float32)
@@ -75,13 +92,7 @@ def _cumsum1(x):
 
 def _suffix1(x):
     """Strict suffix sum along axis 1: out[:, i] = sum_{j>i} x[:, j]."""
-    row = jax.lax.broadcasted_iota(jnp.int32, (C_CHUNK, C_CHUNK), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (C_CHUNK, C_CHUNK), 1)
-    lower = (row > col).astype(jnp.float32)
-    return jax.lax.dot_general(
-        x, lower, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return jnp.sum(x, axis=1, keepdims=True) - _cumsum1(x)
 
 
 def _pixel_coords(i, tiles_x):
@@ -107,6 +118,20 @@ def _chunk_alpha(data_s, px, py, base, count):
     slot = base + jax.lax.broadcasted_iota(jnp.int32, (1, C_CHUNK), 1)
     keep = (power <= 0.0) & (alpha >= rc.ALPHA_CUTOFF) & (slot < count)
     return jnp.where(keep, alpha, 0.0), raw, power
+
+
+def _dma_start(offs, data_ref, data_s_slot, sem_slot):
+    offs = pl.multiple_of(offs, C_CHUNK)
+    pltpu.make_async_copy(
+        data_ref.at[:, pl.ds(offs, C_CHUNK)], data_s_slot, sem_slot
+    ).start()
+
+
+def _dma_wait(offs, data_ref, data_s_slot, sem_slot):
+    offs = pl.multiple_of(offs, C_CHUNK)
+    pltpu.make_async_copy(
+        data_ref.at[:, pl.ds(offs, C_CHUNK)], data_s_slot, sem_slot
+    ).wait()
 
 
 def _dma_in(offs, data_ref, data_s, sem):
@@ -140,16 +165,26 @@ def _fwd_kernel(
 
     def body(carry):
         c_idx, log_t, log_p, acc, ninc = carry
-        _dma_in(start + c_idx * C_CHUNK, data_ref, data_s, sem)
+        slot = jax.lax.rem(c_idx, 2)
+        # Wait for this chunk's prefetched DMA, immediately prefetch next.
+        _dma_wait(start + c_idx * C_CHUNK, data_ref, data_s.at[slot], sem.at[slot])
+
+        @pl.when((c_idx + 1) * C_CHUNK < count)
+        def _():
+            _dma_start(
+                start + (c_idx + 1) * C_CHUNK, data_ref,
+                data_s.at[1 - slot], sem.at[1 - slot],
+            )
+
         base = c_idx * C_CHUNK
-        alpha, _, _ = _chunk_alpha(data_s[:], px, py, base, count)
+        alpha, _, _ = _chunk_alpha(data_s[slot], px, py, base, count)
         lp = jnp.log1p(-alpha)  # (P, C)
         include = (log_p + _cumsum1(lp)) >= LOG_T_EPS
         a_eff = alpha * include.astype(jnp.float32)
         lp_eff = jnp.log1p(-a_eff)
         log_t_in = log_t + _cumsum1(lp_eff) - lp_eff
         w = a_eff * jnp.exp(log_t_in)  # (P, C)
-        color = data_s[R_COL : R_COL + ch, :]  # (CH, C)
+        color = data_s[slot, R_COL : R_COL + ch, :]  # (CH, C)
         contrib = jax.lax.dot_general(
             w, color, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,6 +197,11 @@ def _fwd_kernel(
             ninc + jnp.sum((a_eff > 0).astype(jnp.int32), axis=1, keepdims=True),
         )
 
+    # Prefetch the first chunk, then loop with double buffering.
+    @pl.when(count > 0)
+    def _():
+        _dma_start(start, data_ref, data_s.at[0], sem.at[0])
+
     init = (
         jnp.zeros((), jnp.int32),
         jnp.zeros((P_TILE, 1), jnp.float32),
@@ -169,7 +209,15 @@ def _fwd_kernel(
         jnp.zeros((P_TILE, ch), jnp.float32),
         jnp.zeros((P_TILE, 1), jnp.int32),
     )
-    _, log_t, _, acc, ninc = jax.lax.while_loop(cond, body, init)
+    c_exit, log_t, _, acc, ninc = jax.lax.while_loop(cond, body, init)
+
+    # Drain a prefetched-but-unconsumed DMA when the transmittance early-exit
+    # fired with more chunks remaining (semaphores must be balanced).
+    @pl.when((c_exit < max_chunks) & (c_exit * C_CHUNK < count))
+    def _():
+        slot = jax.lax.rem(c_exit, 2)
+        _dma_wait(start + c_exit * C_CHUNK, data_ref, data_s.at[slot], sem.at[slot])
+
     img_ref[0] = acc
     t_ref[0] = jnp.exp(log_t)
     n_ref[0] = ninc
@@ -314,8 +362,8 @@ def _make_fwd(tiles_x, num_tiles, ch, max_chunks):
             pl.BlockSpec((1, P_TILE, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ROWS, C_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, ROWS, C_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

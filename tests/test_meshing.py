@@ -102,6 +102,27 @@ class TestMeshOps:
         assert len(v) == 3
         assert len(f) == 1
 
+    def test_qem_decimation(self):
+        from sugar_tpu.native import qem_available, qem_decimate
+
+        if not qem_available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        pts, nrm = sphere_points(n=8000)
+        res = poisson_reconstruct(pts, nrm, resolution=64)
+        v, f = qem_decimate(res.vertices, res.faces, 600)
+        assert len(v) <= 650
+        radii = np.linalg.norm(v, axis=-1)
+        # QEM preserves the sphere far better than clustering.
+        assert abs(np.median(radii) - 1.0) < 0.05
+        assert radii.std() < 0.05
+        # Faces index valid vertices, no degenerates.
+        assert f.min() >= 0 and f.max() < len(v)
+        assert (
+            (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+        ).all()
+
     def test_decimation_reduces(self):
         pts, nrm = sphere_points(n=8000)
         res = poisson_reconstruct(pts, nrm, resolution=64)
