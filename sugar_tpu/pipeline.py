@@ -203,6 +203,56 @@ def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=
     return out
 
 
+def run_texture(cfg: PipelineConfig, scene: ds.SceneData, refined_ply: str, log_fn=print) -> str:
+    """Stage 4: UV texture baking + textured OBJ export
+    (extract_refined_mesh_with_texture)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    from sugar_tpu.refine import bound as B
+    from sugar_tpu.refine.extract_textured import TextureConfig, extract_textured_mesh
+
+    with open(refined_ply.replace(".ply", "_state.pkl"), "rb") as f:
+        st = pickle.load(f)
+    params = B.BoundParams(
+        vertices=jnp.asarray(st["vertices"]),
+        log_scales=jnp.asarray(st["log_scales"]),
+        complex_rot=jnp.asarray(st["complex_rot"]),
+        opacity_logit=jnp.asarray(st["opacity_logit"]),
+        sh_dc=jnp.asarray(st["sh_dc"]),
+        sh_rest=jnp.asarray(st["sh_rest"]),
+    )
+    _, bary = B.BARY_TABLES[st["n_per_triangle"]]
+    bm = B.BoundMesh(
+        faces=jnp.asarray(st["faces"].astype(np.int32)),
+        bary=jnp.asarray(bary.astype(np.float32)),
+        thickness=jnp.asarray(st["thickness"], np.float32),
+        n_per_triangle=st["n_per_triangle"],
+    )
+    train_idx, _ = scene.split(cfg.eval_split)
+    sh_degree = int(round(np.sqrt(st["sh_rest"].shape[-1] + 1))) - 1
+    out = os.path.join(cfg.output_dir, "refined_mesh", "textured.obj")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    extract_textured_mesh(
+        params, bm, [scene.cameras[i] for i in train_idx], out,
+        TextureConfig(), sh_degree=sh_degree,
+    )
+    return out
+
+
+def load_reference_checkpoint(gs_output_path: str, iteration: int = 7000):
+    """Load a checkpoint produced by the *reference* 3DGS/SuGaR training
+    (output/<scene>/point_cloud/iteration_N/point_cloud.ply) so users can
+    bring their existing models into the TPU stack unchanged."""
+    ply = os.path.join(
+        gs_output_path, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
+    )
+    if not os.path.exists(ply):
+        raise FileNotFoundError(ply)
+    return gm.load_ply(ply)
+
+
 def run_full_pipeline(cfg: PipelineConfig, log_fn=print) -> dict:
     """All stages (reference train.py flow). Returns artifact paths."""
     scene = load_scene(cfg)
@@ -210,4 +260,7 @@ def run_full_pipeline(cfg: PipelineConfig, log_fn=print) -> dict:
     coarse = run_coarse(cfg, scene, gs, log_fn)
     mesh = run_extract_mesh(cfg, scene, coarse, log_fn)
     refined = run_refine(cfg, scene, mesh, log_fn)
-    return dict(vanilla=gs, coarse=coarse, mesh=mesh, refined=refined)
+    textured = run_texture(cfg, scene, refined, log_fn)
+    return dict(
+        vanilla=gs, coarse=coarse, mesh=mesh, refined=refined, textured=textured
+    )

@@ -127,6 +127,11 @@ def test_full_pipeline_toy(toy_blender_scene, tmp_path):
     refined = run_refine(cfg, scene, mesh, log_fn=logs.append)
     assert os.path.exists(refined)
     assert os.path.exists(refined.replace(".ply", "_state.pkl"))
+    from sugar_tpu.pipeline import run_texture
+
+    textured = run_texture(cfg, scene, refined, log_fn=logs.append)
+    assert os.path.exists(textured)
+    assert os.path.exists(textured.replace(".obj", ".png"))
     # Refined PLY loads as a gaussian model.
     from sugar_tpu.io.ply import load_gaussian_ply
 
