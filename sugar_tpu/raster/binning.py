@@ -43,6 +43,18 @@ class Binning:
     overflow: jnp.ndarray  # () int32 dropped duplications (0 = exact)
 
 
+def bucketize_by_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
+    """For sorted exclusive-cumsum ``offsets`` (N,), return g (size,) with
+    g[d] = last index whose offset <= d — the vectorized equivalent of
+    ``searchsorted(offsets, d, 'right') - 1``. jnp.searchsorted lowers to a
+    scalar-core loop on TPU (profiled at ~100 ms per million lookups); this
+    scatter+cumsum runs on the VPU."""
+    mark = jnp.zeros((size,), jnp.int32).at[jnp.clip(offsets, 0, size)].add(
+        1, mode="drop"
+    )
+    return jnp.cumsum(mark) - 1
+
+
 def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int) -> Binning:
     n = prep.tiles_touched.shape[0]
     num_tiles = settings.tiles_x * settings.tiles_y
@@ -52,8 +64,7 @@ def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int
 
     d = jnp.arange(capacity, dtype=jnp.int32)
     # Source gaussian of each dup slot: last g with offsets[g] <= d.
-    g = jnp.searchsorted(offsets, d, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, n - 1)
+    g = jnp.clip(bucketize_by_offsets(offsets, capacity), 0, n - 1)
     local = d - offsets[g]
     in_range = (d < total) & (local < counts[g])
 
@@ -70,15 +81,18 @@ def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int
         (tile_id, depth, g), dimension=0, num_keys=2, is_stable=True
     )
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    # Per-tile ranges via segment counts (identifyTileRanges equivalent;
+    # again avoiding scalar-loop searchsorted).
+    tile_count = jax.ops.segment_sum(
+        jnp.ones_like(sorted_tile), sorted_tile, num_segments=num_tiles + 1
+    )[:num_tiles].astype(jnp.int32)
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
     return Binning(
         sorted_gauss=sorted_gauss,
         sorted_tile=sorted_tile,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
+        tile_count=tile_count,
         num_rendered=total,
         overflow=jnp.maximum(total - capacity, 0),
     )

@@ -39,12 +39,10 @@ def render_pallas(
     aligned_start = jnp.cumsum(aligned_counts) - aligned_counts  # (T,)
     d_al = capacity + C_CHUNK * num_tiles  # static upper bound
 
+    from sugar_tpu.raster.binning import bucketize_by_offsets
+
     s = jnp.arange(d_al, dtype=jnp.int32)
-    t = jnp.clip(
-        jnp.searchsorted(aligned_start, s, side="right").astype(jnp.int32) - 1,
-        0,
-        num_tiles - 1,
-    )
+    t = jnp.clip(bucketize_by_offsets(aligned_start, d_al), 0, num_tiles - 1)
     local = s - aligned_start[t]
     total_aligned = aligned_start[-1] + aligned_counts[-1]
     valid = (local < count_clip[t]) & (s < total_aligned)

@@ -64,7 +64,9 @@ def _rasterize_impl(vertices, faces, world_view, full_proj, camera_static, dup_c
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
     d = jnp.arange(dup_capacity, dtype=jnp.int32)
-    g = jnp.clip(jnp.searchsorted(offsets, d, side="right").astype(jnp.int32) - 1, 0, f - 1)
+    from sugar_tpu.raster.binning import bucketize_by_offsets
+
+    g = jnp.clip(bucketize_by_offsets(offsets, dup_capacity), 0, f - 1)
     local = d - offsets[g]
     in_range = (d < total) & (local < counts[g])
     rw = jnp.maximum(rmax_x[g] - rmin_x[g], 1)
@@ -73,10 +75,10 @@ def _rasterize_impl(vertices, faces, world_view, full_proj, camera_static, dup_c
     tile_id = jnp.where(in_range, ty * tiles_x + tx, num_tiles)
     sorted_tile, sorted_face = jax.lax.sort((tile_id, g), dimension=0, num_keys=1, is_stable=True)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, t_ids, side="left").astype(jnp.int32)
-    tile_count = (
-        jnp.searchsorted(sorted_tile, t_ids, side="right").astype(jnp.int32) - tile_start
-    )
+    tile_count = jax.ops.segment_sum(
+        jnp.ones_like(sorted_tile), sorted_tile, num_segments=num_tiles + 1
+    )[:num_tiles].astype(jnp.int32)
+    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
 
     # Per-tile z-buffer.
     py_g, px_g = jnp.meshgrid(
