@@ -89,11 +89,9 @@ def make_sharded_train_step(
         new_stats = dens.update_stats(stats, gprobe, radii_max)
         return new_params, new_adam, new_stats, dict(loss=loss)
 
-    # Prefix pytrees: one sharding covers a whole argument subtree; AdamState
-    # needs a per-field spec because its step counter is a scalar.
-    adam_shardings = opt.AdamState(mu=gauss, nu=gauss, count=repl)
-    return jax.jit(
-        step_fn,
-        in_shardings=(gauss, gauss, adam_shardings, gauss, data, data, repl),
-        donate_argnums=(0, 2),
-    )
+    # Inputs are explicitly device_put onto the mesh by the caller
+    # (parallel.mesh.shard_params); jit infers in-shardings from the
+    # committed arguments (declaring them here breaks on zero-size leaves
+    # like a degree-0 sh_rest, which cannot carry a 'gauss' spec). The
+    # with_sharding_constraint above keeps gradients on the gauss axis.
+    return jax.jit(step_fn, donate_argnums=(0, 2))

@@ -37,6 +37,53 @@ class TestDryrun:
         ge.dryrun_multichip(4)
 
 
+class TestShardedTraining:
+    def test_sharded_loop_descends(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.models.gaussians import create_from_pcd
+        from sugar_tpu.models.render import render_model
+        from sugar_tpu.parallel.trainer import train_vanilla_sharded
+        from sugar_tpu.trainers import optimizer as opt
+        from sugar_tpu.trainers.vanilla import TrainConfig
+
+        g = np.random.default_rng(0)
+        pts = g.normal(size=(60, 3)).astype(np.float32) * 0.4
+        cols = g.uniform(0.3, 1.0, (60, 3)).astype(np.float32)
+        target = create_from_pcd(pts, cols, capacity=64, sh_degree=0,
+                                 initial_opacity=0.9)
+        cams, gts = [], []
+        for i in range(8):
+            th = 2 * np.pi * i / 8
+            fwd = -np.array([np.cos(th), 0.1, np.sin(th)])
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            Rwc = np.stack([right, np.cross(fwd, right), fwd], 0)
+            cam = make_camera(R=Rwc.T, T=-Rwc @ (-fwd * 3), fov_x=1.0, fov_y=1.0,
+                              height=32, width=32)
+            cams.append(cam)
+            gts.append(np.asarray(jnp.clip(
+                render_model(target, cam, dup_capacity=2048, k_max=64)["image"], 0, 1)))
+
+        logs = []
+        cfg = TrainConfig(
+            iterations=48, capacity=64, sh_degree=0, sh_warmup_every=1,
+            densify_from=10_000, densify_until=10_000, dup_capacity_mult=32,
+            k_max=64, log_every=4,
+            optim=opt.OptimConfig(feature_lr=0.05, opacity_lr=0.1),
+        )
+        model = train_vanilla_sharded(
+            cams, gts, pts, np.full_like(cols, 0.5), extent=1.5, cfg=cfg,
+            n_data=4, n_gauss=2, log_fn=logs.append,
+        )
+        assert logs and logs[-1]["loss"] < logs[0]["loss"]
+        for leaf in jax.tree.leaves(model.params):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
 class TestRegularizers:
     def test_overlap_identical_gaussians(self):
         import jax.numpy as jnp
