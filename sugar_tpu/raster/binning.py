@@ -45,14 +45,17 @@ class Binning:
 
 def bucketize_by_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
     """For sorted exclusive-cumsum ``offsets`` (N,), return g (size,) with
-    g[d] = last index whose offset <= d — the vectorized equivalent of
-    ``searchsorted(offsets, d, 'right') - 1``. jnp.searchsorted lowers to a
-    scalar-core loop on TPU (profiled at ~100 ms per million lookups); this
-    scatter+cumsum runs on the VPU."""
-    mark = jnp.zeros((size,), jnp.int32).at[jnp.clip(offsets, 0, size)].add(
-        1, mode="drop"
+    g[d] = last index whose offset <= d.
+
+    TPU note: the default searchsorted ('scan') lowers to a scalar-core
+    binary-search loop (~100 ms/M lookups profiled) and XLA scatter is
+    serial too (~60 ms/M); method='sort' rides the fast TPU radix sort
+    (~0.05 ms for 800k keys)."""
+    d = jnp.arange(size, dtype=offsets.dtype)
+    return (
+        jnp.searchsorted(offsets, d, side="right", method="sort").astype(jnp.int32)
+        - 1
     )
-    return jnp.cumsum(mark) - 1
 
 
 def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int) -> Binning:
@@ -81,12 +84,16 @@ def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int
         (tile_id, depth, g), dimension=0, num_keys=2, is_stable=True
     )
 
-    # Per-tile ranges via segment counts (identifyTileRanges equivalent;
-    # again avoiding scalar-loop searchsorted).
-    tile_count = jax.ops.segment_sum(
-        jnp.ones_like(sorted_tile), sorted_tile, num_segments=num_tiles + 1
-    )[:num_tiles].astype(jnp.int32)
-    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+    # Per-tile ranges (identifyTileRanges equivalent); method='sort' keeps
+    # this off the scalar core (segment_sum scatters are serial on TPU).
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(
+        sorted_tile, tile_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    tile_end = jnp.searchsorted(
+        sorted_tile, tile_ids, side="right", method="sort"
+    ).astype(jnp.int32)
+    tile_count = tile_end - tile_start
 
     return Binning(
         sorted_gauss=sorted_gauss,

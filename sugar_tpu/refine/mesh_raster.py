@@ -75,10 +75,13 @@ def _rasterize_impl(vertices, faces, world_view, full_proj, camera_static, dup_c
     tile_id = jnp.where(in_range, ty * tiles_x + tx, num_tiles)
     sorted_tile, sorted_face = jax.lax.sort((tile_id, g), dimension=0, num_keys=1, is_stable=True)
     t_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_count = jax.ops.segment_sum(
-        jnp.ones_like(sorted_tile), sorted_tile, num_segments=num_tiles + 1
-    )[:num_tiles].astype(jnp.int32)
-    tile_start = (jnp.cumsum(tile_count) - tile_count).astype(jnp.int32)
+    tile_start = jnp.searchsorted(
+        sorted_tile, t_ids, side="left", method="sort"
+    ).astype(jnp.int32)
+    tile_count = (
+        jnp.searchsorted(sorted_tile, t_ids, side="right", method="sort").astype(jnp.int32)
+        - tile_start
+    )
 
     # Per-tile z-buffer.
     py_g, px_g = jnp.meshgrid(
