@@ -63,13 +63,18 @@ def main() -> None:
     step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
     args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, colors))
 
+    def sync(out):
+        # block_until_ready does not reliably wait on the tunneled axon
+        # backend; fetching a scalar does (in-order single-device queue).
+        np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
+
     # Warmup/compile.
-    jax.block_until_ready(step(*args))
+    sync(step(*args))
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(*args)
-    jax.block_until_ready(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = h * w / dt

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """COLMAP SfM driver (gaussian_splatting/convert.py:1-124): runs
 feature_extractor -> matcher -> mapper -> undistort to produce the dataset

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """Benchmark-suite orchestration (gaussian_splatting/full_eval.py:15-74):
 runs train+render+metrics over the standard scene sets when their data dirs

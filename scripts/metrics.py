@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """Evaluation CLI — the reference's metrics.py protocol (PSNR/SSIM[/LPIPS]
 on the every-8th-image test split)."""

@@ -1,3 +1,5 @@
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """Viewer launcher (reference run_viewer.py:26-47): validates the
 ply/obj/png triplet and writes the viewer's scene descriptor."""

@@ -2,17 +2,24 @@
 
 TPU-native replacement for the CUDA binning stage (rasterizer_impl.cu:70-138,
 277-314): cub's data-dependent prefix-sum + 64-bit radix sort become a
-fixed-capacity "dense expansion" plus a stable multi-key `lax.sort`:
+fixed-capacity "dense expansion" plus sorts sized to the measured TPU cost
+model (lax.sort ~7-12 ms / 4M keys on v5e; gathers dominate at ~7 ms / 4M
+int32 — so the design minimizes *payload bytes carried through sorts*):
 
-1. exclusive cumsum of per-Gaussian touched-tile counts gives duplication
-   offsets (as in cub InclusiveSum);
-2. every duplication slot d in [0, capacity) finds its source Gaussian with a
-   `searchsorted` over the offsets (scatter-free, static shape) and derives
-   its tile coordinate from d's position inside the Gaussian's tile rect
-   (same row-major order as duplicateWithKeys, rasterizer_impl.cu:70-111);
-3. a stable lexicographic sort on (tile_id, depth) reproduces the CUDA
-   [tileID | depth-bits] radix-sort order including tie behavior;
-4. per-tile [start, count) ranges come from two searchsorteds
+1. Gaussians are globally **depth-sorted first** (N keys, not capacity keys)
+   so dup slots are emitted in depth-major order;
+2. an exclusive cumsum of depth-ordered touched-tile counts gives duplication
+   offsets (cub InclusiveSum equivalent); every dup slot d finds its source
+   via a `searchsorted` over the offsets (scatter-free, static shape) and
+   derives its tile coordinate from d's position inside the Gaussian's tile
+   rect (row-major, as duplicateWithKeys rasterizer_impl.cu:70-111);
+3. ONE single-key stable sort on tile_id groups dups per tile; within a
+   tile, the stable order preserves depth-major emission = exact per-tile
+   depth order. CUDA's [tileID | depth-bits] radix sort ties (equal f32
+   depth) resolve to duplication order = Gaussian index order; the depth
+   presort is stable on index so ties match exactly.
+4. per-tile [start, count) ranges come from ONE searchsorted over
+   arange(T+1) — tile ids are dense, so end[t] == start[t+1]
    (identifyTileRanges equivalent).
 
 Capacity is a static upper bound on total duplications; overflow (true total
@@ -50,7 +57,7 @@ def bucketize_by_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
     TPU note: the default searchsorted ('scan') lowers to a scalar-core
     binary-search loop (~100 ms/M lookups profiled) and XLA scatter is
     serial too (~60 ms/M); method='sort' rides the fast TPU radix sort
-    (~0.05 ms for 800k keys)."""
+    (~10 ms for 5M keys)."""
     d = jnp.arange(size, dtype=offsets.dtype)
     return (
         jnp.searchsorted(offsets, d, side="right", method="sort").astype(jnp.int32)
@@ -61,39 +68,45 @@ def bucketize_by_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
 def bin_gaussians(prep: Preprocessed, settings: rc.RasterSettings, capacity: int) -> Binning:
     n = prep.tiles_touched.shape[0]
     num_tiles = settings.tiles_x * settings.tiles_y
-    counts = prep.tiles_touched.astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts  # exclusive
+
+    # 1. Depth presort of Gaussians (N keys — 4-8x fewer than capacity).
+    # Culled Gaussians (tiles_touched == 0) emit no dups wherever they land.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, gsort = jax.lax.sort(
+        (prep.depth, idx), dimension=0, num_keys=1, is_stable=True
+    )
+    counts = prep.tiles_touched[gsort].astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive, depth-major
     total = offsets[-1] + counts[-1]
 
+    # 2. Dense expansion: dup slot -> depth-rank r -> gaussian g.
     d = jnp.arange(capacity, dtype=jnp.int32)
-    # Source gaussian of each dup slot: last g with offsets[g] <= d.
-    g = jnp.clip(bucketize_by_offsets(offsets, capacity), 0, n - 1)
-    local = d - offsets[g]
-    in_range = (d < total) & (local < counts[g])
+    r = jnp.clip(bucketize_by_offsets(offsets, capacity), 0, n - 1)
+    g = gsort[r]
+    local = d - offsets[r]
+    in_range = (d < total) & (local < counts[r])
 
-    rw = prep.rect_max[g, 0] - prep.rect_min[g, 0]
-    rw_safe = jnp.maximum(rw, 1)
-    tx = prep.rect_min[g, 0] + local % rw_safe
-    ty = prep.rect_min[g, 1] + local // rw_safe
+    rmin = prep.rect_min[g]  # (capacity, 2) gather
+    rw_safe = jnp.maximum(prep.rect_max[g, 0] - rmin[..., 0], 1)
+    tx = rmin[..., 0] + local % rw_safe
+    ty = rmin[..., 1] + local // rw_safe
     tile_id = jnp.where(in_range, ty * settings.tiles_x + tx, num_tiles)
 
-    depth = jnp.where(in_range, prep.depth[g], jnp.inf).astype(jnp.float32)
-    # Stable lexicographic sort: primary tile, secondary depth; ties keep
-    # duplication order (== gaussian index order), matching CUDA radix sort.
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile_id, depth, g), dimension=0, num_keys=2, is_stable=True
+    # 3. Single-key stable sort by tile; emission order is depth-major, so
+    # within-tile order == depth order (ties: gaussian index, as CUDA).
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tile_id, g), dimension=0, num_keys=1, is_stable=True
     )
 
-    # Per-tile ranges (identifyTileRanges equivalent); method='sort' keeps
-    # this off the scalar core (segment_sum scatters are serial on TPU).
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(
-        sorted_tile, tile_ids, side="left", method="sort"
+    # 4. Ranges: dense tile ids => end[t] == start[t+1]; one searchsorted.
+    bounds = jnp.searchsorted(
+        sorted_tile,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left",
+        method="sort",
     ).astype(jnp.int32)
-    tile_end = jnp.searchsorted(
-        sorted_tile, tile_ids, side="right", method="sort"
-    ).astype(jnp.int32)
-    tile_count = tile_end - tile_start
+    tile_start = bounds[:num_tiles]
+    tile_count = bounds[1:] - bounds[:num_tiles]
 
     return Binning(
         sorted_gauss=sorted_gauss,

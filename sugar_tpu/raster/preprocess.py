@@ -44,10 +44,26 @@ def compute_cov3d(
 
     Sigma = R diag(s^2) R^T (forward.cu:118-152; quats are assumed already
     normalized, as the model activations guarantee).
+
+    TPU note: written as structure-of-arrays elementwise math on (N,)
+    channels — a batched (N,3,3) einsum lowers to 1M tiny MXU matmuls with
+    catastrophic padding (profiled ~90 ms at N=1M vs ~2 ms for this form).
     """
-    R = quat.quaternion_to_matrix(quaternions)
-    s2 = (scale_modifier * scales) ** 2
-    return jnp.einsum("nij,nj,nkj->nik", R, s2, R)
+    R = quat.quaternion_to_matrix(quaternions)  # (N, 3, 3)
+    s2 = (scale_modifier * scales) ** 2  # (N, 3)
+    # Sigma_ik = sum_j R_ij s2_j R_kj; exploit symmetry, emit 6 channels.
+    r = [[R[..., i, j] for j in range(3)] for i in range(3)]
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+
+    def sig(i, k):
+        return r[i][0] * s0 * r[k][0] + r[i][1] * s1 * r[k][1] + r[i][2] * s2_ * r[k][2]
+
+    c00, c01, c02 = sig(0, 0), sig(0, 1), sig(0, 2)
+    c11, c12, c22 = sig(1, 1), sig(1, 2), sig(2, 2)
+    row0 = jnp.stack([c00, c01, c02], axis=-1)
+    row1 = jnp.stack([c01, c11, c12], axis=-1)
+    row2 = jnp.stack([c02, c12, c22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 def compute_cov2d(
@@ -83,20 +99,27 @@ def compute_cov2d(
     j11 = focal_y * inv_z
     j12 = -focal_y * ty * inv_z2
 
-    # M = J @ W  (2x3), cov2d = M @ cov3d @ M^T  (2x2 symmetric).
-    zeros = jnp.zeros_like(j00)
-    Jm = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    M = jnp.einsum("nij,jk->nik", Jm, W)  # (N, 2, 3)
-    cov = jnp.einsum("nij,njk,nlk->nil", M, cov3d, M)  # (N, 2, 2)
-    cxx = cov[..., 0, 0] + rc.LOWPASS
-    cyy = cov[..., 1, 1] + rc.LOWPASS
-    cxy = cov[..., 0, 1]
+    # M = J @ W (2x3), cov2d = M @ cov3d @ M^T (2x2 symmetric). Expanded to
+    # structure-of-arrays elementwise channels: batched (N,2,3)x(N,3,3)
+    # einsums lower to tiny padded MXU matmuls (profiled ~90 ms at N=1M).
+    # M row0 = j00*W[0] + j02*W[2]; row1 = j11*W[1] + j12*W[2].
+    m0 = [j00 * W[0, k] + j02 * W[2, k] for k in range(3)]  # 3 x (N,)
+    m1 = [j11 * W[1, k] + j12 * W[2, k] for k in range(3)]
+    s = cov3d  # (N, 3, 3) symmetric
+    s00, s01, s02 = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    s11, s12, s22 = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+
+    def quad(a, b):
+        # a^T Sigma b for 3-channel lists a, b.
+        return (
+            a[0] * (s00 * b[0] + s01 * b[1] + s02 * b[2])
+            + a[1] * (s01 * b[0] + s11 * b[1] + s12 * b[2])
+            + a[2] * (s02 * b[0] + s12 * b[1] + s22 * b[2])
+        )
+
+    cxx = quad(m0, m0) + rc.LOWPASS
+    cyy = quad(m1, m1) + rc.LOWPASS
+    cxy = quad(m0, m1)
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
