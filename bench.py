@@ -44,7 +44,6 @@ def main() -> None:
         R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=h, width=w
     )
     settings = from_camera(cam)
-    dup_capacity = 4 * n
 
     def loss_fn(means3d, scales_, quats_, opac_, colors_):
         out = rasterize_gaussians(
@@ -55,7 +54,8 @@ def main() -> None:
             quaternions=quats_,
             colors=colors_,
             mode="pallas",
-            dup_capacity=dup_capacity,
+            dup_capacity=4 * n,
+            tile_cap=16,
             k_max=8192,
         )
         return jnp.sum(out["image"] ** 2)

@@ -1,16 +1,12 @@
-"""Stage-by-stage timing of the production Pallas render path at bench scale.
+"""Per-stage timing of the production render path on real hardware.
 
-Isolates: preprocess, binning (dup sort), aligned re-layout + pre-gather,
-Pallas forward, full fwd, full fwd+bwd — to find the rays/s bottleneck.
+Times preprocess / binning / re-layout+gather / pallas fwd / full fwd /
+full fwd+bwd at bench.py's scale, to locate the bottleneck.
 """
 
 from __future__ import annotations
 
-import os
-import sys
 import time
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,23 +16,19 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/sugar_tpu_jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def _sync(out):
-    # block_until_ready does not reliably wait on the tunneled axon backend;
-    # fetching a scalar does (single device executes in dispatch order).
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.device_get(leaf.ravel()[:1]))
+def sync(out):
+    np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[:1]))
 
 
-def timeit(fn, *args, iters=5, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
+def timeit(name, fn, *args, iters=5):
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    _sync(out)
+    sync(out)
     dt = (time.perf_counter() - t0) / iters
-    return dt, out
+    print(f"{name:34s} {dt * 1e3:9.2f} ms")
+    return dt
 
 
 def main():
@@ -47,8 +39,9 @@ def main():
     from sugar_tpu.core.cameras import make_camera
     from sugar_tpu.raster import common as rc
     from sugar_tpu.raster.api import rasterize_gaussians
-    from sugar_tpu.raster.binning import bin_gaussians
+    from sugar_tpu.raster.binning import bin_gaussians_dense
     from sugar_tpu.raster.common import from_camera
+    from sugar_tpu.raster.pallas_render import render_pallas
     from sugar_tpu.raster.preprocess import preprocess
 
     means = np.stack(
@@ -59,86 +52,83 @@ def main():
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     opac = g.uniform(0.2, 0.9, n).astype(np.float32)
     colors = g.uniform(0, 1, (n, 3)).astype(np.float32)
-    cam = make_camera(R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=h, width=w)
+    cam = make_camera(
+        R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=h, width=w
+    )
     settings = from_camera(cam)
-    dup_capacity = 4 * n
+    tile_cap = 16
     k_max = 8192
 
     args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, colors))
+    means_j, scales_j, quats_j, opac_j, colors_j = args
 
-    # 1. preprocess only
-    @jax.jit
-    def f_prep(m, s, q, o, c):
-        p = preprocess(m, o, settings, scales=s, quaternions=q, colors=c)
-        return p.mean2d, p.conic, p.depth, p.tiles_touched
+    prep_fn = jax.jit(
+        lambda m, s, q, o, c: preprocess(m, o, settings, scales=s, quaternions=q, colors=c)
+    )
+    timeit("preprocess", prep_fn, means_j, scales_j, quats_j, opac_j, colors_j)
+    prep = jax.block_until_ready(prep_fn(means_j, scales_j, quats_j, opac_j, colors_j))
 
-    dt, _ = timeit(f_prep, *args)
-    print(f"preprocess:            {dt*1e3:8.2f} ms")
+    bin_fn = jax.jit(lambda p: bin_gaussians_dense(p, settings, tile_cap, capacity=4 * n))
+    timeit("binning (dense)", bin_fn, prep)
+    binning = bin_fn(prep)
+    sync(binning)
+    print("num_rendered:", int(binning.num_rendered), "overflow:", int(binning.overflow))
+    print("tile_count max:", int(jnp.max(binning.tile_count)),
+          "mean:", float(jnp.mean(binning.tile_count)))
 
-    # 2. preprocess + binning
-    @jax.jit
-    def f_bin(m, s, q, o, c):
-        p = preprocess(m, o, settings, scales=s, quaternions=q, colors=c)
-        b = bin_gaussians(p, settings, dup_capacity)
-        return b.sorted_gauss, b.tile_start
+    fwd_fn = jax.jit(lambda p, b: render_pallas(p, b, settings, max_per_tile=k_max))
+    timeit("pallas fwd (gather+kernel)", fwd_fn, prep, binning)
 
-    dt, _ = timeit(f_bin, *args)
-    print(f"prep+binning:          {dt*1e3:8.2f} ms")
+    full_fwd = jax.jit(
+        lambda m, s, q, o, c: rasterize_gaussians(
+            m, o, settings, scales=s, quaternions=q, colors=c,
+            mode="pallas", tile_cap=tile_cap, dup_capacity=4 * n, k_max=k_max,
+        )["image"]
+    )
+    timeit("full fwd", full_fwd, *args)
 
-    # 3. + pre-gather (pack + gather_dup) but no pallas call
-    from sugar_tpu.raster.binning import bucketize_by_offsets
-    from sugar_tpu.raster.pallas_composite import C_CHUNK
-    from sugar_tpu.raster.pallas_render import gather_dup, pack_params
-
-    @jax.jit
-    def f_gather(m, s, q, o, c):
-        p = preprocess(m, o, settings, scales=s, quaternions=q, colors=c)
-        b = bin_gaussians(p, settings, dup_capacity)
-        num_tiles = settings.tiles_x * settings.tiles_y
-        max_chunks = k_max // C_CHUNK
-        count_clip = jnp.minimum(b.tile_count, max_chunks * C_CHUNK)
-        aligned_counts = ((count_clip + C_CHUNK - 1) // C_CHUNK) * C_CHUNK
-        aligned_start = jnp.cumsum(aligned_counts) - aligned_counts
-        d_al = dup_capacity + C_CHUNK * num_tiles
-        sl = jnp.arange(d_al, dtype=jnp.int32)
-        t = jnp.clip(bucketize_by_offsets(aligned_start, d_al), 0, num_tiles - 1)
-        local = sl - aligned_start[t]
-        total_aligned = aligned_start[-1] + aligned_counts[-1]
-        valid = (local < count_clip[t]) & (sl < total_aligned)
-        src_slot = jnp.clip(b.tile_start[t] + local, 0, dup_capacity - 1)
-        gid = jnp.where(valid, b.sorted_gauss[src_slot], n)
-        packed = pack_params(p.mean2d, p.conic, p.opacity, p.color)
-        return gather_dup(packed, gid, n)
-
-    dt, _ = timeit(f_gather, *args)
-    print(f"prep+bin+gather:       {dt*1e3:8.2f} ms")
-
-    # 4. full forward pallas
-    @jax.jit
-    def f_fwd(m, s, q, o, c):
+    def loss_fn(m, s, q, o, c):
         out = rasterize_gaussians(
             m, o, settings, scales=s, quaternions=q, colors=c,
-            mode="pallas", dup_capacity=dup_capacity, k_max=k_max,
+            mode="pallas", tile_cap=tile_cap, dup_capacity=4 * n, k_max=k_max,
         )
-        return out["image"]
+        return jnp.sum(out["image"] ** 2)
 
-    dt, img = timeit(f_fwd, *args)
-    print(f"full forward:          {dt*1e3:8.2f} ms")
+    step = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4)))
+    dt = timeit("full fwd+bwd", step, *args)
+    print(f"rays/s: {h * w / dt:.0f}")
 
-    # 5. fwd+bwd
-    @jax.jit
-    def f_fb(m, s, q, o, c):
-        def loss(m, s, q, o, c):
-            out = rasterize_gaussians(
-                m, o, settings, scales=s, quaternions=q, colors=c,
-                mode="pallas", dup_capacity=dup_capacity, k_max=k_max,
-            )
-            return jnp.sum(out["image"] * 0.5) + jnp.sum(out["final_T"]) * 0.1
-        l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(m, s, q, o, c)
-        return l, grads
+    # --- isolate the pieces of the backward.
+    from sugar_tpu.raster.pallas_composite import C_CHUNK, ROWS, tile_composite
+    from sugar_tpu.raster.pallas_render import gather_dup, pack_params
 
-    dt, _ = timeit(f_fb, *args)
-    print(f"full fwd+bwd:          {dt*1e3:8.2f} ms   -> {h*w/dt:,.0f} rays/s")
+    binning = jax.block_until_ready(bin_fn(prep))
+    d = binning.sorted_gauss.shape[0]
+    d_pad = ((d + C_CHUNK - 1) // C_CHUNK) * C_CHUNK + C_CHUNK
+    gid = jnp.concatenate([binning.sorted_gauss, jnp.full((d_pad - d,), n, jnp.int32)])
+    packed = jax.block_until_ready(
+        jax.jit(pack_params)(prep.mean2d, prep.conic, prep.opacity, prep.color)
+    )
+    timeit("gather_dup fwd", jax.jit(lambda p: gather_dup(p, gid, n, 9)), packed)
+    dup_data = jax.block_until_ready(gather_dup(packed, gid, n, 9))
+    max_chunks = max(1, k_max // 256)
+    shape_info = (settings.tiles_x, settings.tiles_x * settings.tiles_y, 3, max_chunks)
+    count_clip = jnp.minimum(binning.tile_count, max_chunks * 256)
+
+    kern_fwd = jax.jit(
+        lambda dd: tile_composite(shape_info, binning.tile_start, count_clip, dd, settings.bg)[0]
+    )
+    timeit("kernel fwd only", kern_fwd, dup_data)
+    kern_fb = jax.jit(
+        jax.grad(lambda dd: jnp.sum(
+            tile_composite(shape_info, binning.tile_start, count_clip, dd, settings.bg)[0] ** 2
+        ))
+    )
+    timeit("kernel fwd+bwd only", kern_fb, dup_data)
+    gd_fb = jax.jit(
+        jax.grad(lambda p: jnp.sum(gather_dup(p, gid, n, 9) ** 2))
+    )
+    timeit("gather_dup fwd+bwd", gd_fb, packed)
 
 
 if __name__ == "__main__":

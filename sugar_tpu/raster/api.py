@@ -38,6 +38,7 @@ def rasterize_gaussians(
     dup_capacity: int | None = None,
     k_max: int = 1024,
     tile_chunk: int = 64,
+    tile_cap: int | None = None,
 ) -> dict[str, Any]:
     """Render one view. Returns dict(image (H,W,C), radii, final_T, n_contrib,
     plus overflow diagnostics for the tiled path)."""
@@ -68,11 +69,16 @@ def rasterize_gaussians(
         # Top-of-function import would be circular-free too, but keep it
         # lazy for CPU-only users; safe now that the module has no
         # trace-hostile import-time jnp ops.
+        from sugar_tpu.raster.binning import bin_gaussians_dense
         from sugar_tpu.raster.pallas_render import render_pallas
 
         if dup_capacity is None:
             dup_capacity = 8 * means3d.shape[0]
-        binning = bin_gaussians(prep, settings, dup_capacity)
+        if tile_cap is None:
+            # Per-Gaussian tile-rect capacity; derived from the legacy
+            # total-duplication capacity when not given explicitly.
+            tile_cap = max(1, dup_capacity // means3d.shape[0])
+        binning = bin_gaussians_dense(prep, settings, tile_cap, capacity=dup_capacity)
         out = render_pallas(prep, binning, settings, max_per_tile=k_max)
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered

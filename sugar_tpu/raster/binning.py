@@ -50,6 +50,111 @@ class Binning:
     overflow: jnp.ndarray  # () int32 dropped duplications (0 = exact)
 
 
+def bin_gaussians_dense(
+    prep: Preprocessed,
+    settings: rc.RasterSettings,
+    tile_cap: int,
+    capacity: int | None = None,
+) -> Binning:
+    """Gather-free binning: dense (N, tile_cap) expansion + ONE stable sort.
+
+    The production fast path. ``bin_gaussians`` below derives each dup
+    slot's source Gaussian with a searchsorted over duplication offsets
+    plus several capacity-sized gathers — profiled ~315 ms/step at 1M
+    Gaussians x 4M dups on v5e, dominated by TPU gather (~7 cycles/elem)
+    and the sort-based searchsorted. Here every Gaussian instead owns a
+    fixed row of ``tile_cap`` dup slots whose tile ids are pure elementwise
+    math on (N, tile_cap) arrays, so the only capacity-sized data movement
+    is the single [tile]-key sort (~3.5 ns/key):
+
+    1. stable depth presort of Gaussians (N keys) + ONE (4, N) gather puts
+       expansion inputs in depth order, so slots are emitted depth-major;
+    2. slot (i, j) = j-th tile of depth-ranked Gaussian i's rect, row-major
+       (duplicateWithKeys order, rasterizer_impl.cu:70-111), invalid slots
+       get tile id ``num_tiles`` and sort to the tail;
+    3. ONE stable sort on tile id groups slots per tile; stability keeps
+       depth-major emission = exact per-tile depth order, ties (equal f32
+       depth) resolving to Gaussian index order as CUDA's radix sort does;
+    4. per-tile [start, count) from a binary-search searchsorted (the
+       query side is tiny: num_tiles + 1).
+
+    Gaussians whose tile rect exceeds ``tile_cap`` have their trailing
+    tiles dropped and counted in ``overflow`` — the caller re-jits with a
+    larger cap, the same protocol as ``bin_gaussians``'s capacity (CUDA
+    resizes its buffers dynamically, rasterizer_impl.cu:155-194).
+
+    ``capacity`` (default N * tile_cap = lossless) truncates the sorted
+    dup arrays: valid slots sort before the invalid tail, so the slice is
+    exact while num_rendered <= capacity (excess counted in ``overflow``),
+    and it keeps every downstream per-dup-slot pass (data gather, gradient
+    reduction) sized to the true duplication count instead of the dense
+    expansion bound.
+    """
+    n = prep.tiles_touched.shape[0]
+    num_tiles = settings.tiles_x * settings.tiles_y
+
+    # 1. Depth presort + one packed gather into depth order.
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, gsort = jax.lax.sort(
+        (prep.depth, idx), dimension=0, num_keys=1, is_stable=True
+    )
+    counts = jnp.minimum(prep.tiles_touched, tile_cap)
+    pk = jnp.stack(
+        [
+            prep.rect_min[:, 0],
+            prep.rect_min[:, 1],
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1),
+            counts,
+        ],
+        axis=0,
+    )[:, gsort]  # (4, N)
+
+    # 2. Dense expansion: slot (i, j) -> tile id, elementwise on (N, M).
+    j = jnp.arange(tile_cap, dtype=jnp.int32)[None, :]
+    w = pk[2][:, None]
+    # Integer j // w via f32 divide: exact for j < 2^24 / max(tiles_x)
+    # (int32 div lowers poorly on the VPU). j <= tile_cap here.
+    ty_off = jnp.floor(j.astype(jnp.float32) / w.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    tx_off = j - ty_off * w
+    tile_e = (pk[1][:, None] + ty_off) * settings.tiles_x + pk[0][:, None] + tx_off
+    tile_e = jnp.where(j < pk[3][:, None], tile_e, num_tiles)
+    gid_e = jnp.broadcast_to(gsort[:, None], (n, tile_cap))
+
+    # 3. One stable sort by tile id over the (N * M,) expansion.
+    sorted_tile, sorted_gauss = jax.lax.sort(
+        (tile_e.reshape(-1), gid_e.reshape(-1)),
+        dimension=0,
+        num_keys=1,
+        is_stable=True,
+    )
+    num_rendered = jnp.sum(counts)
+    cap_overflow = jnp.zeros((), jnp.int32)
+    if capacity is not None and capacity < n * tile_cap:
+        sorted_tile = sorted_tile[:capacity]
+        sorted_gauss = sorted_gauss[:capacity]
+        cap_overflow = jnp.maximum(num_rendered - capacity, 0)
+
+    # 4. Ranges: dense tile ids => end[t] == start[t+1]. The query side is
+    # tiny so the binary-search lowering beats the sort-based one.
+    bounds = jnp.searchsorted(
+        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    tile_start = bounds[:num_tiles]
+    tile_count = bounds[1:] - bounds[:num_tiles]
+
+    return Binning(
+        sorted_gauss=sorted_gauss,
+        sorted_tile=sorted_tile,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        num_rendered=num_rendered,
+        overflow=jnp.sum(jnp.maximum(prep.tiles_touched - tile_cap, 0))
+        + cap_overflow,
+    )
+
+
 def bucketize_by_offsets(offsets: jnp.ndarray, size: int) -> jnp.ndarray:
     """For sorted exclusive-cumsum ``offsets`` (N,), return g (size,) with
     g[d] = last index whose offset <= d.

@@ -1,21 +1,21 @@
-"""Host-side wrapper: binning output -> aligned dup-order gather -> Pallas.
+"""Host-side wrapper: dense binning -> one dup-order gather -> Pallas.
 
-Completes the production render path. Mosaic requires DMA slice offsets
-along the lane dimension to be divisible by the tiling (128), so each tile's
-duplication range is re-laid-out to start on a C_CHUNK boundary: a second
-gather maps aligned slots back to the [tile|depth]-sorted order, padding
-slots with opacity-0 entries (inert under the kernel's cutoff gates).
+Completes the production render path. The dup array is consumed by the
+kernel exactly in [tile|depth]-sorted order — the kernel DMAs each tile's
+chunk-floor-aligned slot range and masks non-owned lead/tail slots, so no
+aligned re-layout pass is needed (a previous revision spent a full
+searchsorted + gather over the dup array on it).
 
-The pre-gather is ONE column gather of a packed (ROWS, N) array (profiled
-~28 ms at 4.2M x 16 f32 on v5e — four separate narrow gathers cost ~4x).
-Its transpose — reducing per-dup-slot gradients onto Gaussians — is a
-custom VJP (``gather_dup``): XLA's scatter-add lowers to a serial loop
-(~270 ms at this scale), so the backward instead sorts cotangent columns by
-gaussian id (~7 ms), gathers them into segment-contiguous order (~28 ms),
-and does a two-level segmented reduction: block-local f32 cumsums (bounded
-512-term rounding) + f64 cumsum over per-block totals (exact middle terms),
-finished by prefix-difference gathers at segment bounds. This is the
-atomics-free grad reduction of SURVEY.md §7 hard part #2.
+The pre-gather is ONE column gather of a packed (ROWS, N) array. Its
+transpose — reducing per-dup-slot gradients onto Gaussians — is a custom
+VJP (``gather_dup``): XLA's scatter-add lowers to a serial loop (~270 ms
+at 4M slots on v5e), so the backward instead sorts cotangent columns by
+gaussian id, gathers the LIVE rows (grads occupy only 6+CH of the 16
+DMA-padding rows) into segment-contiguous order, and does a two-level
+segmented reduction: block-local f32 cumsums (bounded 512-term rounding)
++ f64 cumsum over per-block totals (exact middle terms), finished by
+prefix-difference gathers at segment bounds. This is the atomics-free
+grad reduction of SURVEY.md §7 hard part #2.
 """
 
 from __future__ import annotations
@@ -26,44 +26,47 @@ import jax
 import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
-from sugar_tpu.raster.binning import Binning, bucketize_by_offsets
-from sugar_tpu.raster.pallas_composite import C_CHUNK, R_OP, ROWS, tile_composite
+from sugar_tpu.raster.binning import Binning
+from sugar_tpu.raster.pallas_composite import C_CHUNK, ROWS, tile_composite
 from sugar_tpu.raster.preprocess import Preprocessed
 
 _BLOCK = 512  # segmented-reduction block (f32 rounding bound per segment)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def gather_dup(packed: jnp.ndarray, gid: jnp.ndarray, n: int) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_dup(packed: jnp.ndarray, gid: jnp.ndarray, n: int, live_rows: int) -> jnp.ndarray:
     """dup_data (ROWS, D) = packed (ROWS, n) [:, gid (D,)].
 
-    ``gid`` entries equal to ``n`` are padding (their cotangent is dropped).
-    Backward is a sort-based segmented reduction (module docstring).
+    ``gid`` entries equal to ``n`` are padding (their cotangent is
+    dropped); ``live_rows`` bounds the rows that can carry nonzero
+    cotangents (the kernel zero-pads the rest), letting the backward's
+    sort-gather-reduce run on a smaller array.
     """
     safe = jnp.minimum(gid, n - 1)
     return packed[:, safe]
 
 
-def _gather_dup_fwd(packed, gid, n):
-    return gather_dup(packed, gid, n), gid
+def _gather_dup_fwd(packed, gid, n, live_rows):
+    return gather_dup(packed, gid, n, live_rows), gid
 
 
-def _gather_dup_bwd(n, gid, ct):
+def _gather_dup_bwd(n, live_rows, gid, ct):
     rows, d = ct.shape
+    ct = ct[:live_rows]
     d_pad = ((d + _BLOCK - 1) // _BLOCK) * _BLOCK
     # Sort dup slots by gaussian id; padding (gid == n) sorts last.
     slot = jnp.arange(d, dtype=jnp.int32)
     gid_sorted, perm = jax.lax.sort(
         (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
     )
-    ct_s = ct[:, perm]  # (ROWS, D) one column gather
+    ct_s = ct[:, perm]  # (live_rows, D) one column gather
     if d_pad != d:
         ct_s = jnp.pad(ct_s, ((0, 0), (0, d_pad - d)))
     nb = d_pad // _BLOCK
-    local = jnp.cumsum(ct_s.reshape(rows, nb, _BLOCK), axis=2)  # inclusive
-    btot = local[..., -1]  # (ROWS, nb)
+    local = jnp.cumsum(ct_s.reshape(live_rows, nb, _BLOCK), axis=2)  # inclusive
+    btot = local[..., -1]  # (live_rows, nb)
     bpre = jnp.cumsum(btot, axis=1) - btot  # exclusive block prefix
-    local_flat = local.reshape(rows, d_pad)
+    local_flat = local.reshape(live_rows, d_pad)
 
     # Segment bounds per gaussian: one searchsorted over sorted gids.
     # Window sum [lo, hi) computed as (bpre[b(hi-1)] - bpre[b(lo-1)]) +
@@ -82,7 +85,8 @@ def _gather_dup_bwd(n, gid, ct):
 
     bp_hi, loc_hi = pieces(bounds[1:])
     bp_lo, loc_lo = pieces(bounds[:-1])
-    return (bp_hi - bp_lo) + (loc_hi - loc_lo), None
+    d_live = (bp_hi - bp_lo) + (loc_hi - loc_lo)
+    return jnp.pad(d_live, ((0, rows - live_rows), (0, 0))), None
 
 
 gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
@@ -117,40 +121,26 @@ def render_pallas(
     n = prep.mean2d.shape[0]
     max_chunks = max(1, (max_per_tile + C_CHUNK - 1) // C_CHUNK)
 
-    capacity = binning.sorted_gauss.shape[0]
+    d = binning.sorted_gauss.shape[0]
+    # Pad so the kernel's chunk-floor DMA of the last tile stays in bounds.
+    d_pad = ((d + C_CHUNK - 1) // C_CHUNK) * C_CHUNK + C_CHUNK
+    gid = jnp.concatenate(
+        [binning.sorted_gauss, jnp.full((d_pad - d,), n, jnp.int32)]
+    )
     count_clip = jnp.minimum(binning.tile_count, max_chunks * C_CHUNK)
 
-    # ---- aligned re-layout: every tile range starts on a chunk boundary.
-    aligned_counts = ((count_clip + C_CHUNK - 1) // C_CHUNK) * C_CHUNK
-    aligned_start = jnp.cumsum(aligned_counts) - aligned_counts  # (T,)
-    d_al = capacity + C_CHUNK * num_tiles  # static upper bound
-
-    s = jnp.arange(d_al, dtype=jnp.int32)
-    t = jnp.clip(bucketize_by_offsets(aligned_start, d_al), 0, num_tiles - 1)
-    local = s - aligned_start[t]
-    total_aligned = aligned_start[-1] + aligned_counts[-1]
-    valid = (local < count_clip[t]) & (s < total_aligned)
-    src_slot = jnp.clip(binning.tile_start[t] + local, 0, capacity - 1)
-    # Padding slots point at gaussian n: gather_dup clamps them to a real
-    # row but their cotangent lands in segment n, which is dropped.
-    gid = jnp.where(valid, binning.sorted_gauss[src_slot], n)
-
-    # Pack once (transposes, ~cheap), then ONE column gather.
+    # Pack once (transposes, ~cheap), then ONE column gather. Dup slots
+    # belonging to no tile range (invalid tail, padding) are never read by
+    # the kernel and their grad columns stay zero-initialized, so no
+    # masking pass is needed.
     packed = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
-    dup_data = gather_dup(packed, gid, n)  # (ROWS, D)
-    # Padding columns carry a real gaussian's data; zero their opacity so
-    # they are inert under the kernel's alpha cutoff. (The multiply keeps
-    # gradients flowing to valid slots only.)
-    slot_mask = valid.astype(jnp.float32)[None, :]
-    row_sel = (jnp.arange(ROWS) == R_OP).astype(jnp.float32)[:, None]
-    dup_data = dup_data * (1.0 - row_sel * (1.0 - slot_mask))
+    dup_data = gather_dup(packed, gid, n, 6 + ch)  # (ROWS, D_pad)
 
     shape_info = (tx_n, num_tiles, ch, max_chunks)
     img_t, final_t, n_contrib = tile_composite(
         shape_info,
-        aligned_start,
+        binning.tile_start,
         count_clip,
-        slot_mask,
         dup_data,
         settings.bg,
     )
