@@ -54,7 +54,7 @@ def main() -> None:
             quaternions=quats_,
             colors=colors_,
             mode="pallas",
-            dup_capacity=4 * n,
+            dup_capacity=2_560_000,
             tile_cap=16,
             k_max=8192,
         )

@@ -68,7 +68,7 @@ def main():
     timeit("preprocess", prep_fn, means_j, scales_j, quats_j, opac_j, colors_j)
     prep = jax.block_until_ready(prep_fn(means_j, scales_j, quats_j, opac_j, colors_j))
 
-    bin_fn = jax.jit(lambda p: bin_gaussians_dense(p, settings, tile_cap, capacity=4 * n))
+    bin_fn = jax.jit(lambda p: bin_gaussians_dense(p, settings, tile_cap, capacity=2_560_000))
     timeit("binning (dense)", bin_fn, prep)
     binning = bin_fn(prep)
     sync(binning)
@@ -82,7 +82,7 @@ def main():
     full_fwd = jax.jit(
         lambda m, s, q, o, c: rasterize_gaussians(
             m, o, settings, scales=s, quaternions=q, colors=c,
-            mode="pallas", tile_cap=tile_cap, dup_capacity=4 * n, k_max=k_max,
+            mode="pallas", tile_cap=tile_cap, dup_capacity=2_560_000, k_max=k_max,
         )["image"]
     )
     timeit("full fwd", full_fwd, *args)
@@ -90,7 +90,7 @@ def main():
     def loss_fn(m, s, q, o, c):
         out = rasterize_gaussians(
             m, o, settings, scales=s, quaternions=q, colors=c,
-            mode="pallas", tile_cap=tile_cap, dup_capacity=4 * n, k_max=k_max,
+            mode="pallas", tile_cap=tile_cap, dup_capacity=2_560_000, k_max=k_max,
         )
         return jnp.sum(out["image"] ** 2)
 
@@ -109,8 +109,8 @@ def main():
     packed = jax.block_until_ready(
         jax.jit(pack_params)(prep.mean2d, prep.conic, prep.opacity, prep.color)
     )
-    timeit("gather_dup fwd", jax.jit(lambda p: gather_dup(p, gid, n, 9)), packed)
-    dup_data = jax.block_until_ready(gather_dup(packed, gid, n, 9))
+    timeit("gather_dup fwd", jax.jit(lambda p: gather_dup(p, gid, n, 9, 16)), packed)
+    dup_data = jax.block_until_ready(gather_dup(packed, gid, n, 9, 16))
     max_chunks = max(1, k_max // 256)
     shape_info = (settings.tiles_x, settings.tiles_x * settings.tiles_y, 3, max_chunks)
     count_clip = jnp.minimum(binning.tile_count, max_chunks * 256)
@@ -126,7 +126,7 @@ def main():
     )
     timeit("kernel fwd+bwd only", kern_fb, dup_data)
     gd_fb = jax.jit(
-        jax.grad(lambda p: jnp.sum(gather_dup(p, gid, n, 9) ** 2))
+        jax.grad(lambda p: jnp.sum(gather_dup(p, gid, n, 9, 16) ** 2))
     )
     timeit("gather_dup fwd+bwd", gd_fb, packed)
 

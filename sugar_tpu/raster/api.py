@@ -79,7 +79,9 @@ def rasterize_gaussians(
             # total-duplication capacity when not given explicitly.
             tile_cap = max(1, dup_capacity // means3d.shape[0])
         binning = bin_gaussians_dense(prep, settings, tile_cap, capacity=dup_capacity)
-        out = render_pallas(prep, binning, settings, max_per_tile=k_max)
+        out = render_pallas(
+            prep, binning, settings, max_per_tile=k_max, seg_cap=tile_cap
+        )
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered
     else:

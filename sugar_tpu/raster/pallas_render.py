@@ -33,59 +33,57 @@ from sugar_tpu.raster.preprocess import Preprocessed
 _BLOCK = 512  # segmented-reduction block (f32 rounding bound per segment)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def gather_dup(packed: jnp.ndarray, gid: jnp.ndarray, n: int, live_rows: int) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_dup(
+    packed: jnp.ndarray, gid: jnp.ndarray, n: int, live_rows: int, seg_cap: int
+) -> jnp.ndarray:
     """dup_data (ROWS, D) = packed (ROWS, n) [:, gid (D,)].
 
     ``gid`` entries equal to ``n`` are padding (their cotangent is
     dropped); ``live_rows`` bounds the rows that can carry nonzero
-    cotangents (the kernel zero-pads the rest), letting the backward's
-    sort-gather-reduce run on a smaller array.
+    cotangents (the kernel zero-pads the rest); ``seg_cap`` is a static
+    bound on how many dup slots any one gaussian owns (= the binning
+    tile_cap) — it bounds the backward's segmented-scan depth.
     """
     safe = jnp.minimum(gid, n - 1)
     return packed[:, safe]
 
 
-def _gather_dup_fwd(packed, gid, n, live_rows):
-    return gather_dup(packed, gid, n, live_rows), gid
+def _gather_dup_fwd(packed, gid, n, live_rows, seg_cap):
+    return gather_dup(packed, gid, n, live_rows, seg_cap), gid
 
 
-def _gather_dup_bwd(n, live_rows, gid, ct):
+def _gather_dup_bwd(n, live_rows, seg_cap, gid, ct):
+    """Segmented reduction of dup-slot cotangents onto Gaussians.
+
+    Sort slots by gaussian id (segments become contiguous, length <=
+    seg_cap), then a log2(seg_cap)-step shift-and-add suffix scan inside
+    segments puts each segment's full sum at its FIRST slot; one gather at
+    the segment-start positions (a searchsorted over the sorted ids) reads
+    it out. f32 throughout: each sum has <= seg_cap terms.
+    """
     rows, d = ct.shape
     ct = ct[:live_rows]
-    d_pad = ((d + _BLOCK - 1) // _BLOCK) * _BLOCK
     # Sort dup slots by gaussian id; padding (gid == n) sorts last.
     slot = jnp.arange(d, dtype=jnp.int32)
     gid_sorted, perm = jax.lax.sort(
         (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
     )
-    ct_s = ct[:, perm]  # (live_rows, D) one column gather
-    if d_pad != d:
-        ct_s = jnp.pad(ct_s, ((0, 0), (0, d_pad - d)))
-    nb = d_pad // _BLOCK
-    local = jnp.cumsum(ct_s.reshape(live_rows, nb, _BLOCK), axis=2)  # inclusive
-    btot = local[..., -1]  # (live_rows, nb)
-    bpre = jnp.cumsum(btot, axis=1) - btot  # exclusive block prefix
-    local_flat = local.reshape(live_rows, d_pad)
+    y = ct[:, perm]  # (live_rows, D) one column gather
+    sh = 1
+    while sh < seg_cap:
+        y_next = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
+        g_next = jnp.pad(gid_sorted[sh:], (0, sh), constant_values=-1)
+        y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
+        sh *= 2
 
-    # Segment bounds per gaussian: one searchsorted over sorted gids.
-    # Window sum [lo, hi) computed as (bpre[b(hi-1)] - bpre[b(lo-1)]) +
-    # (local[hi-1] - local[lo-1]): separate differences keep same-block
-    # segments at block-local (<= _BLOCK-term) f32 rounding — the block
-    # prefixes cancel exactly — instead of eps * |global prefix|.
-    bounds = jnp.searchsorted(
+    starts = jnp.searchsorted(
         gid_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
     ).astype(jnp.int32)
-
-    def pieces(i):
-        # Exclusive-prefix pieces at index i (i in [0, d_pad]).
-        j = jnp.maximum(i - 1, 0)
-        m = (i > 0).astype(ct.dtype)
-        return bpre[:, j // _BLOCK] * m, local_flat[:, j] * m
-
-    bp_hi, loc_hi = pieces(bounds[1:])
-    bp_lo, loc_lo = pieces(bounds[:-1])
-    d_live = (bp_hi - bp_lo) + (loc_hi - loc_lo)
+    nonempty = starts[:-1] < starts[1:]
+    d_live = jnp.where(
+        nonempty[None, :], y[:, jnp.minimum(starts[:-1], d - 1)], 0.0
+    )
     return jnp.pad(d_live, ((0, rows - live_rows), (0, 0))), None
 
 
@@ -114,6 +112,7 @@ def render_pallas(
     binning: Binning,
     settings: rc.RasterSettings,
     max_per_tile: int = 8192,
+    seg_cap: int = 64,
 ) -> dict:
     tx_n, ty_n = settings.tiles_x, settings.tiles_y
     num_tiles = tx_n * ty_n
@@ -134,7 +133,7 @@ def render_pallas(
     # the kernel and their grad columns stay zero-initialized, so no
     # masking pass is needed.
     packed = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
-    dup_data = gather_dup(packed, gid, n, 6 + ch)  # (ROWS, D_pad)
+    dup_data = gather_dup(packed, gid, n, 6 + ch, seg_cap)  # (ROWS, D_pad)
 
     shape_info = (tx_n, num_tiles, ch, max_chunks)
     img_t, final_t, n_contrib = tile_composite(
