@@ -95,3 +95,81 @@ def make_sharded_train_step(
     # like a degree-0 sh_rest, which cannot carry a 'gauss' spec). The
     # with_sharding_constraint above keeps gradients on the gauss axis.
     return jax.jit(step_fn, donate_argnums=(0, 2))
+
+
+def make_tile_sharded_train_step(
+    mesh: Mesh,
+    axis: str,
+    lrs: dict[str, Callable],
+    optim_cfg: opt.OptimConfig,
+    active_sh_degree: int,
+    tile_cap: int = 16,
+    route_cap: int | None = None,
+    k_max: int = 8192,
+    lambda_dssim: float = 0.2,
+    white_background: bool = False,
+    use_kernel: bool = True,
+):
+    """Single-view train step with ALL devices cooperating on one render:
+    Gaussian shards + image tile bands over ``axis`` (parallel.render).
+
+    This is the multi-chip execution of the reference's batch=1 iteration
+    (coarse_sdf.py:480-502): the tile-sharded path keeps every chip busy on
+    the same view, instead of giving each data-group a different view.
+    """
+    from sugar_tpu.parallel.render import render_sharded
+
+    def step_fn(
+        params: GaussianParams,
+        alive: jnp.ndarray,
+        adam: opt.AdamState,
+        stats: dens.DensifyStats,
+        cam,  # single Camera (replicated pytree of scalars/arrays)
+        gt: jnp.ndarray,  # (H, W, 3)
+        it: jnp.ndarray,
+    ):
+        import dataclasses as dc
+
+        from sugar_tpu.raster import common as rcm
+
+        bg = jnp.full((3,), 1.0 if white_background else 0.0, jnp.float32)
+        settings = dc.replace(
+            rcm.from_camera(cam, bg=bg), sh_degree=active_sh_degree
+        )
+        n = params.xyz.shape[0]
+        probe = jnp.zeros((n, 2), jnp.float32)
+        k = (active_sh_degree + 1) ** 2
+
+        def loss_fn(p, pr):
+            from sugar_tpu.models.gaussians import quat_normalize
+
+            sh = jnp.concatenate([p.sh_dc[:, :, None], p.sh_rest], axis=-1)
+            out = render_sharded(
+                mesh, axis,
+                p.xyz,
+                jax.nn.sigmoid(p.opacity_logit),
+                settings,
+                scales=jnp.exp(p.log_scales),
+                quaternions=quat_normalize(p.quaternions),
+                shs=sh[:, :, :k],
+                alive_mask=alive,
+                ndc_offset=pr,
+                tile_cap=tile_cap,
+                route_cap=route_cap,
+                k_max=k_max,
+                use_kernel=use_kernel,
+            )
+            img = jnp.clip(out["image"], 0.0, 1.0)
+            loss = (1 - lambda_dssim) * losses.l1_loss(img, gt) + lambda_dssim * (
+                1.0 - losses.ssim(img, gt)
+            )
+            return loss, out["radii"]
+
+        (loss, radii), (gparams, gprobe) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe)
+        new_params, new_adam = opt.adam_step(params, gparams, adam, it, lrs, optim_cfg)
+        new_stats = dens.update_stats(stats, gprobe, radii)
+        return new_params, new_adam, new_stats, dict(loss=loss)
+
+    return jax.jit(step_fn, donate_argnums=(0, 2))
