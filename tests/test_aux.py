@@ -180,3 +180,44 @@ class TestCompositor:
         img = np.asarray(composite_render([s], cam, k_max=32)["image"])
         # Blob renders on the right side after the +x translation.
         assert img[:, 16:].sum() > img[:, :16].sum()
+
+
+class TestLPIPS:
+    def test_lpips_runs_with_synthetic_weights(self, tmp_path):
+        import numpy as np
+
+        from sugar_tpu.eval.metrics import _VGG_CFG, make_lpips
+
+        rng = np.random.default_rng(0)
+        w = {}
+        idx = 0
+        cin = 3
+        slice_channels = []
+        for c in _VGG_CFG:
+            if c == "M":
+                idx += 1
+            else:
+                w[f"features.{idx}.weight"] = rng.normal(
+                    scale=0.05, size=(c, cin, 3, 3)
+                ).astype(np.float32)
+                w[f"features.{idx}.bias"] = np.zeros((c,), np.float32)
+                cin = c
+                idx += 2
+                if idx - 1 in (3, 8, 15, 22, 29):
+                    slice_channels.append(c)
+        for k, c in enumerate(slice_channels):
+            w[f"lin{k}"] = np.full((c,), 1.0 / c, np.float32)
+        path = str(tmp_path / "lpips.npz")
+        np.savez(path, **w)
+
+        lp = make_lpips(path)
+        a = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        b = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        assert float(lp(a, a)) < 1e-6
+        d = float(lp(a, b))
+        assert np.isfinite(d) and d > 0
+
+    def test_lpips_missing_weights_gates_off(self):
+        from sugar_tpu.eval.metrics import make_lpips
+
+        assert make_lpips("/nonexistent/path.npz") is None
