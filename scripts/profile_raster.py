@@ -110,7 +110,9 @@ def main():
         jax.jit(pack_params)(prep.mean2d, prep.conic, prep.opacity, prep.color)
     )
     timeit("gather_dup fwd", jax.jit(lambda p: gather_dup(p, gid, n, 9, 16)), packed)
-    dup_data = jax.block_until_ready(gather_dup(packed, gid, n, 9, 16))
+    dup_data = jax.block_until_ready(
+        jnp.pad(gather_dup(packed, gid, n, 9, 16), ((0, ROWS - 9), (0, 0)))
+    )
     max_chunks = max(1, k_max // 256)
     shape_info = (settings.tiles_x, settings.tiles_x * settings.tiles_y, 3, max_chunks)
     count_clip = jnp.minimum(binning.tile_count, max_chunks * 256)

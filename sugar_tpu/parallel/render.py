@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sugar_tpu.raster import common as rc
-from sugar_tpu.raster.pallas_composite import C_CHUNK, R_MY, ROWS, tile_composite
+from sugar_tpu.raster.pallas_composite import C_CHUNK, R_MY, tile_composite
 from sugar_tpu.raster.pallas_render import gather_dup, pack_params
 from sugar_tpu.raster.preprocess import preprocess
 
@@ -246,8 +246,10 @@ def render_sharded(
             [gid_m, jnp.full((d_pad - d_band,), n, jnp.int32)]
         )
         dup = gather_dup(packed, gid_pad, n, 6 + ch, tile_cap)
+        rows_pad = ((6 + ch + 7) // 8) * 8
+        dup = jnp.pad(dup, ((0, rows_pad - 6 - ch), (0, 0)))
         row_shift = (sidx * ty_local * rc.TILE_Y).astype(jnp.float32)
-        row_sel = (jnp.arange(ROWS) == R_MY).astype(jnp.float32)[:, None]
+        row_sel = (jnp.arange(rows_pad) == R_MY).astype(jnp.float32)[:, None]
         dup = dup - row_sel * row_shift
 
         shape_info = (tiles_x, band_tiles, ch, max_chunks)

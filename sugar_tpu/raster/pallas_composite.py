@@ -53,7 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 from sugar_tpu.raster import common as rc
 
 C_CHUNK = 256  # gaussians per DMA'd chunk (2 x 128 lanes)
-ROWS = 16  # packed component rows (sublane-tiling aligned)
+# Live packed component rows = 6 + CH (mean2d 2, conic 3, opacity 1,
+# color CH). Mosaic requires sublane-dim DMA slices aligned to the (8,128)
+# tiling, so HBM/VMEM buffers round rows up to a multiple of 8 — but the
+# expensive host-side gather runs on the live rows only and zero-pads
+# afterwards (pallas_render). ROWS is the CH=3 padded default.
+ROWS = 16
 P_TILE = rc.TILE_X * rc.TILE_Y
 
 # Packed row indices.
@@ -394,7 +399,7 @@ def _make_fwd(tiles_x, num_tiles, ch, max_chunks):
             pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, C_CHUNK), jnp.float32),
+            pltpu.VMEM((2, _round8(6 + ch), C_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -426,8 +431,8 @@ def _make_bwd(tiles_x, num_tiles, ch, max_chunks, capacity_pad):
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS, C_CHUNK), jnp.float32),
-            pltpu.VMEM((2, ROWS, C_CHUNK), jnp.float32),
+            pltpu.VMEM((2, _round8(6 + ch), C_CHUNK), jnp.float32),
+            pltpu.VMEM((2, _round8(6 + ch), C_CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -436,7 +441,7 @@ def _make_bwd(tiles_x, num_tiles, ch, max_chunks, capacity_pad):
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, ch=ch, max_chunks=max_chunks),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((ROWS, capacity_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((_round8(6 + ch), capacity_pad), jnp.float32)],
         # The zeros operand (index 4: after 3 scalar-prefetch args + data)
         # is aliased to the grad output, zero-initializing the RMW target.
         input_output_aliases={4: 0},
@@ -474,7 +479,7 @@ def _tile_composite_bwd(shape_info, res, cot):
     gt_total = g_t + jnp.einsum("tpc,c->tp", g_img, bg)
     d_bg = jnp.einsum("tp,tpc->c", t_fin[..., 0], g_img)
     bwd = _make_bwd(tiles_x, num_tiles, ch, max_chunks, dup_data.shape[1])
-    zeros = jnp.zeros((ROWS, dup_data.shape[1]), jnp.float32)
+    zeros = jnp.zeros((dup_data.shape[0], dup_data.shape[1]), jnp.float32)
     (d_packed,) = bwd(
         tile_start, tile_count, nch, dup_data, zeros,
         g_img, gt_total[..., None], t_fin, entry_p,

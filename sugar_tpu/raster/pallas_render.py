@@ -6,16 +6,14 @@ chunk-floor-aligned slot range and masks non-owned lead/tail slots, so no
 aligned re-layout pass is needed (a previous revision spent a full
 searchsorted + gather over the dup array on it).
 
-The pre-gather is ONE column gather of a packed (ROWS, N) array. Its
+The pre-gather is ONE column gather of a packed (6+CH, N) array. Its
 transpose — reducing per-dup-slot gradients onto Gaussians — is a custom
 VJP (``gather_dup``): XLA's scatter-add lowers to a serial loop (~270 ms
 at 4M slots on v5e), so the backward instead sorts cotangent columns by
-gaussian id, gathers the LIVE rows (grads occupy only 6+CH of the 16
-DMA-padding rows) into segment-contiguous order, and does a two-level
-segmented reduction: block-local f32 cumsums (bounded 512-term rounding)
-+ f64 cumsum over per-block totals (exact middle terms), finished by
-prefix-difference gathers at segment bounds. This is the atomics-free
-grad reduction of SURVEY.md §7 hard part #2.
+gaussian id (segments become contiguous with length <= tile_cap), runs a
+log2(tile_cap)-step segmented shift-and-add suffix scan, and gathers each
+segment's sum at its start position. This is the atomics-free grad
+reduction of SURVEY.md §7 hard part #2.
 """
 
 from __future__ import annotations
@@ -27,7 +25,7 @@ import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
 from sugar_tpu.raster.binning import Binning
-from sugar_tpu.raster.pallas_composite import C_CHUNK, ROWS, tile_composite
+from sugar_tpu.raster.pallas_composite import C_CHUNK, tile_composite
 from sugar_tpu.raster.preprocess import Preprocessed
 
 _BLOCK = 512  # segmented-reduction block (f32 rounding bound per segment)
@@ -84,26 +82,18 @@ def _gather_dup_bwd(n, live_rows, seg_cap, gid, ct):
     d_live = jnp.where(
         nonempty[None, :], y[:, jnp.minimum(starts[:-1], d - 1)], 0.0
     )
-    return jnp.pad(d_live, ((0, rows - live_rows), (0, 0))), None
+    if rows != live_rows:
+        d_live = jnp.pad(d_live, ((0, rows - live_rows), (0, 0)))
+    return d_live, None
 
 
 gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
 
 
 def pack_params(mean, conic, opac, color):
-    """(N,2),(N,3),(N,),(N,CH) -> packed (ROWS, N). Differentiable."""
-    ch = color.shape[-1]
-    n = mean.shape[0]
-    pad_rows = ROWS - 6 - ch
+    """(N,2),(N,3),(N,),(N,CH) -> packed (6+CH, N). Differentiable."""
     return jnp.concatenate(
-        [
-            mean.T,
-            conic.T,
-            opac[None, :],
-            color.T,
-            jnp.zeros((pad_rows, n), mean.dtype),
-        ],
-        axis=0,
+        [mean.T, conic.T, opac[None, :], color.T], axis=0
     )
 
 
@@ -133,7 +123,11 @@ def render_pallas(
     # the kernel and their grad columns stay zero-initialized, so no
     # masking pass is needed.
     packed = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
-    dup_data = gather_dup(packed, gid, n, 6 + ch, seg_cap)  # (ROWS, D_pad)
+    dup9 = gather_dup(packed, gid, n, 6 + ch, seg_cap)  # (6+CH, D_pad)
+    # Mosaic DMA slices need 8-aligned sublane counts: zero-pad rows AFTER
+    # the gather (the pad is one cheap copy; gathering dead rows is not).
+    rows_pad = ((6 + ch + 7) // 8) * 8
+    dup_data = jnp.pad(dup9, ((0, rows_pad - 6 - ch), (0, 0)))
 
     shape_info = (tx_n, num_tiles, ch, max_chunks)
     img_t, final_t, n_contrib = tile_composite(
