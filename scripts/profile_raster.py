@@ -106,12 +106,21 @@ def main():
     d = binning.sorted_gauss.shape[0]
     d_pad = ((d + C_CHUNK - 1) // C_CHUNK) * C_CHUNK + C_CHUNK
     gid = jnp.concatenate([binning.sorted_gauss, jnp.full((d_pad - d,), n, jnp.int32)])
+    cnt = jnp.minimum(prep.tiles_touched, tile_cap).astype(jnp.int32)
+    ok = binning.num_rendered <= d
     packed = jax.block_until_ready(
         jax.jit(pack_params)(prep.mean2d, prep.conic, prep.opacity, prep.color)
     )
-    timeit("gather_dup fwd", jax.jit(lambda p: gather_dup(p, gid, n, 9, 16)), packed)
+    timeit(
+        "gather_dup fwd",
+        jax.jit(lambda p: gather_dup(p, gid, cnt, ok, n, 9, tile_cap)),
+        packed,
+    )
     dup_data = jax.block_until_ready(
-        jnp.pad(gather_dup(packed, gid, n, 9, 16), ((0, ROWS - 9), (0, 0)))
+        jnp.pad(
+            gather_dup(packed, gid, cnt, ok, n, 9, tile_cap),
+            ((0, ROWS - 9), (0, 0)),
+        )
     )
     max_chunks = max(1, k_max // 256)
     shape_info = (settings.tiles_x, settings.tiles_x * settings.tiles_y, 3, max_chunks)
@@ -128,7 +137,7 @@ def main():
     )
     timeit("kernel fwd+bwd only", kern_fb, dup_data)
     gd_fb = jax.jit(
-        jax.grad(lambda p: jnp.sum(gather_dup(p, gid, n, 9, 16) ** 2))
+        jax.grad(lambda p: jnp.sum(gather_dup(p, gid, cnt, ok, n, 9, tile_cap) ** 2))
     )
     timeit("gather_dup fwd+bwd", gd_fb, packed)
 

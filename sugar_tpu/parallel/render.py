@@ -45,7 +45,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sugar_tpu.raster import common as rc
 from sugar_tpu.raster.pallas_composite import C_CHUNK, R_MY, tile_composite
-from sugar_tpu.raster.pallas_render import gather_dup, pack_params
+from sugar_tpu.raster.pallas_render import gather_dup_searchsorted, pack_params
 from sugar_tpu.raster.preprocess import preprocess
 
 
@@ -176,6 +176,12 @@ def render_sharded(
 
         # (3) dense local expansion -> (tile, depth, gid) dup entries.
         counts = jnp.minimum(prep.tiles_touched, tile_cap)
+        # Rect tiles beyond tile_cap are dropped silently by the min();
+        # count them so callers can re-jit with a larger cap (same
+        # protocol as bin_gaussians_dense's overflow).
+        tile_cap_overflow = jnp.sum(
+            jnp.maximum(prep.tiles_touched - tile_cap, 0)
+        )
         j = jnp.arange(tile_cap, dtype=jnp.int32)[None, :]
         w = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)[:, None]
         ty_off = jnp.floor(j.astype(jnp.float32) / w.astype(jnp.float32)).astype(
@@ -236,8 +242,10 @@ def render_sharded(
             side="left",
         ).astype(jnp.int32)
         tile_start = bounds[:band_tiles]
-        tile_count = jnp.minimum(
-            bounds[1:] - bounds[:band_tiles], max_chunks * C_CHUNK
+        tile_count_raw = bounds[1:] - bounds[:band_tiles]
+        tile_count = jnp.minimum(tile_count_raw, max_chunks * C_CHUNK)
+        kmax_overflow = jnp.sum(
+            jnp.maximum(tile_count_raw - max_chunks * C_CHUNK, 0)
         )
 
         # (6) dup-ordered data + band-local pixel rows + Pallas composite.
@@ -245,7 +253,7 @@ def render_sharded(
         gid_pad = jnp.concatenate(
             [gid_m, jnp.full((d_pad - d_band,), n, jnp.int32)]
         )
-        dup = gather_dup(packed, gid_pad, n, 6 + ch, tile_cap)
+        dup = gather_dup_searchsorted(packed, gid_pad, n, 6 + ch, tile_cap)
         rows_pad = ((6 + ch + 7) // 8) * 8
         dup = jnp.pad(dup, ((0, rows_pad - 6 - ch), (0, 0)))
         row_shift = (sidx * ty_local * rc.TILE_Y).astype(jnp.float32)
@@ -271,12 +279,14 @@ def render_sharded(
             assemble(n_contrib[..., None], 1)[..., 0],
             prep.radius,
             jax.lax.psum(route_overflow, axis),
+            jax.lax.psum(tile_cap_overflow, axis),
+            jax.lax.psum(kmax_overflow, axis),
         )
 
     in_specs = (P(axis),) * (2 + len(opt_arrays))
-    out_specs = (P(axis), P(axis), P(axis), P(axis), P())
+    out_specs = (P(axis), P(axis), P(axis), P(axis), P(), P(), P())
 
-    image, final_t, n_contrib, radii, overflow = jax.shard_map(
+    image, final_t, n_contrib, radii, overflow, cap_ovf, kmax_ovf = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(means3d, opacities, *opt_arrays)
@@ -286,4 +296,6 @@ def render_sharded(
         n_contrib=n_contrib[: settings.image_height],
         radii=radii,
         route_overflow=overflow,
+        tile_overflow=cap_ovf,
+        kmax_overflow=kmax_ovf,
     )

@@ -163,13 +163,20 @@ def make_tile_sharded_train_step(
             loss = (1 - lambda_dssim) * losses.l1_loss(img, gt) + lambda_dssim * (
                 1.0 - losses.ssim(img, gt)
             )
-            return loss, out["radii"]
+            ovf = dict(
+                route_overflow=out["route_overflow"],
+                tile_overflow=out["tile_overflow"],
+                kmax_overflow=out["kmax_overflow"],
+            )
+            return loss, (out["radii"], ovf)
 
-        (loss, radii), (gparams, gprobe) = jax.value_and_grad(
+        (loss, (radii, ovf)), (gparams, gprobe) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, probe)
         new_params, new_adam = opt.adam_step(params, gparams, adam, it, lrs, optim_cfg)
         new_stats = dens.update_stats(stats, gprobe, radii)
-        return new_params, new_adam, new_stats, dict(loss=loss)
+        # Overflow counters let the training loop trigger the re-jit-with-
+        # larger-cap protocol (any nonzero count = dropped duplications).
+        return new_params, new_adam, new_stats, dict(loss=loss, **ovf)
 
     return jax.jit(step_fn, donate_argnums=(0, 2))

@@ -84,6 +84,10 @@ def rasterize_gaussians(
         )
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered
+        # Sizing diagnostics for the auto-grow protocol (raster.adaptive).
+        d = binning.sorted_gauss.shape[0]
+        out["cap_overflow"] = jnp.maximum(binning.num_rendered - d, 0)
+        out["max_tiles_touched"] = jnp.max(prep.tiles_touched)
     else:
         raise ValueError(f"unknown mode: {mode}")
     out["radii"] = prep.radius

@@ -119,8 +119,13 @@ def bin_gaussians_dense(
     )
     tx_off = j - ty_off * w
     tile_e = (pk[1][:, None] + ty_off) * settings.tiles_x + pk[0][:, None] + tx_off
-    tile_e = jnp.where(j < pk[3][:, None], tile_e, num_tiles)
-    gid_e = jnp.broadcast_to(gsort[:, None], (n, tile_cap))
+    valid_e = j < pk[3][:, None]
+    tile_e = jnp.where(valid_e, tile_e, num_tiles)
+    # Invalid slots carry the sentinel gaussian id n (not their real id):
+    # downstream gradient reduction relies on the sorted array containing
+    # EXACTLY counts[g] slots per gaussian g, with all non-live slots
+    # segregated at the tail (gather_dup counts-derived segment offsets).
+    gid_e = jnp.where(valid_e, jnp.broadcast_to(gsort[:, None], (n, tile_cap)), n)
 
     # 3. One sort by tile id over the (N * M,) expansion. When
     # [tile | depth-rank] fits in 31 bits the fused key is UNIQUE, so the

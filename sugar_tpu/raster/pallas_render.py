@@ -31,38 +31,57 @@ from sugar_tpu.raster.preprocess import Preprocessed
 _BLOCK = 512  # segmented-reduction block (f32 rounding bound per segment)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def gather_dup(
-    packed: jnp.ndarray, gid: jnp.ndarray, n: int, live_rows: int, seg_cap: int
+    packed: jnp.ndarray,
+    gid: jnp.ndarray,
+    counts: jnp.ndarray,
+    grads_exact: jnp.ndarray,
+    n: int,
+    live_rows: int,
+    seg_cap: int,
 ) -> jnp.ndarray:
     """dup_data (ROWS, D) = packed (ROWS, n) [:, gid (D,)].
 
-    ``gid`` entries equal to ``n`` are padding (their cotangent is
-    dropped); ``live_rows`` bounds the rows that can carry nonzero
-    cotangents (the kernel zero-pads the rest); ``seg_cap`` is a static
-    bound on how many dup slots any one gaussian owns (= the binning
-    tile_cap) — it bounds the backward's segmented-scan depth.
+    ``gid`` entries equal to ``n`` are padding/invalid slots (their
+    cotangent is dropped); ``counts`` (n,) is the EXACT number of live dup
+    slots each gaussian owns in ``gid`` (min(tiles_touched, tile_cap) when
+    the capacity did not truncate real slots) — it gives the backward its
+    segment offsets without a searchsorted (profiled 36 ms at bench scale);
+    ``grads_exact`` is a () bool, False when capacity truncation dropped
+    real slots so the counts-derived offsets are wrong — the backward then
+    returns zeros instead of misattributed gradients (the auto-grow
+    protocol in api.py re-renders such frames with a larger capacity).
+    ``live_rows`` bounds the rows that can carry nonzero cotangents (the
+    kernel zero-pads the rest); ``seg_cap`` is a static bound on how many
+    dup slots any one gaussian owns (= the binning tile_cap) — it bounds
+    the backward's segmented-scan depth.
     """
     safe = jnp.minimum(gid, n - 1)
     return packed[:, safe]
 
 
-def _gather_dup_fwd(packed, gid, n, live_rows, seg_cap):
-    return gather_dup(packed, gid, n, live_rows, seg_cap), gid
+def _gather_dup_fwd(packed, gid, counts, grads_exact, n, live_rows, seg_cap):
+    out = gather_dup(packed, gid, counts, grads_exact, n, live_rows, seg_cap)
+    return out, (gid, counts, grads_exact)
 
 
-def _gather_dup_bwd(n, live_rows, seg_cap, gid, ct):
+def _gather_dup_bwd(n, live_rows, seg_cap, res, ct):
     """Segmented reduction of dup-slot cotangents onto Gaussians.
 
     Sort slots by gaussian id (segments become contiguous, length <=
     seg_cap), then a log2(seg_cap)-step shift-and-add suffix scan inside
-    segments puts each segment's full sum at its FIRST slot; one gather at
-    the segment-start positions (a searchsorted over the sorted ids) reads
-    it out. f32 throughout: each sum has <= seg_cap terms.
+    segments puts each segment's full sum at its FIRST slot. Segment
+    starts are the exclusive cumsum of ``counts`` — exact because every
+    live slot of gaussian g is present in ``gid`` exactly once and
+    invalid/padding slots carry the sentinel ``n`` (sorting last). One
+    ascending gather at the start positions reads the sums out. f32
+    throughout: each sum has <= seg_cap terms.
     """
+    gid, counts, grads_exact = res
     rows, d = ct.shape
     ct = ct[:live_rows]
-    # Sort dup slots by gaussian id; padding (gid == n) sorts last.
+    # Sort dup slots by gaussian id; padding/invalid (gid == n) sorts last.
     slot = jnp.arange(d, dtype=jnp.int32)
     gid_sorted, perm = jax.lax.sort(
         (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
@@ -75,19 +94,63 @@ def _gather_dup_bwd(n, live_rows, seg_cap, gid, ct):
         y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
         sh *= 2
 
+    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts  # exclusive
+    ok = grads_exact & (counts > 0)
+    d_live = jnp.where(
+        ok[None, :], y[:, jnp.minimum(starts, d - 1)], 0.0
+    )
+    if rows != live_rows:
+        d_live = jnp.pad(d_live, ((0, rows - live_rows), (0, 0)))
+    return d_live, None, None, None
+
+
+gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_dup_searchsorted(
+    packed: jnp.ndarray, gid: jnp.ndarray, n: int, live_rows: int, seg_cap: int
+) -> jnp.ndarray:
+    """gather_dup variant whose backward finds segment starts with a
+    searchsorted instead of counts-derived offsets.
+
+    ~36 ms slower at bench scale, but correct for ANY gid multiset — used
+    by the multi-chip path (parallel/render.py), where a gaussian's dup
+    slots are split across device bands so no per-device counts exist.
+    """
+    safe = jnp.minimum(gid, n - 1)
+    return packed[:, safe]
+
+
+def _gather_dup_ss_fwd(packed, gid, n, live_rows, seg_cap):
+    return gather_dup_searchsorted(packed, gid, n, live_rows, seg_cap), gid
+
+
+def _gather_dup_ss_bwd(n, live_rows, seg_cap, gid, ct):
+    rows, d = ct.shape
+    ct = ct[:live_rows]
+    slot = jnp.arange(d, dtype=jnp.int32)
+    gid_sorted, perm = jax.lax.sort(
+        (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
+    )
+    y = ct[:, perm]
+    sh = 1
+    while sh < seg_cap:
+        y_next = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
+        g_next = jnp.pad(gid_sorted[sh:], (0, sh), constant_values=-1)
+        y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
+        sh *= 2
     starts = jnp.searchsorted(
         gid_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
     ).astype(jnp.int32)
     nonempty = starts[:-1] < starts[1:]
-    d_live = jnp.where(
-        nonempty[None, :], y[:, jnp.minimum(starts[:-1], d - 1)], 0.0
-    )
+    d_live = jnp.where(nonempty[None, :], y[:, jnp.minimum(starts[:-1], d - 1)], 0.0)
     if rows != live_rows:
         d_live = jnp.pad(d_live, ((0, rows - live_rows), (0, 0)))
     return d_live, None
 
 
-gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
+gather_dup_searchsorted.defvjp(_gather_dup_ss_fwd, _gather_dup_ss_bwd)
 
 
 def pack_params(mean, conic, opac, color):
@@ -117,13 +180,20 @@ def render_pallas(
         [binning.sorted_gauss, jnp.full((d_pad - d,), n, jnp.int32)]
     )
     count_clip = jnp.minimum(binning.tile_count, max_chunks * C_CHUNK)
+    # Per-gaussian live-slot counts: exact segment sizes for the gradient
+    # reduction while the capacity did not truncate real slots (guaranteed
+    # by the auto-grow protocol; see gather_dup docstring).
+    dup_counts = jnp.minimum(prep.tiles_touched, seg_cap).astype(jnp.int32)
+    grads_exact = binning.num_rendered <= d
 
     # Pack once (transposes, ~cheap), then ONE column gather. Dup slots
     # belonging to no tile range (invalid tail, padding) are never read by
     # the kernel and their grad columns stay zero-initialized, so no
     # masking pass is needed.
     packed = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
-    dup9 = gather_dup(packed, gid, n, 6 + ch, seg_cap)  # (6+CH, D_pad)
+    dup9 = gather_dup(
+        packed, gid, dup_counts, grads_exact, n, 6 + ch, seg_cap
+    )  # (6+CH, D_pad)
     # Mosaic DMA slices need 8-aligned sublane counts: zero-pad rows AFTER
     # the gather (the pad is one cheap copy; gathering dead rows is not).
     rows_pad = ((6 + ch + 7) // 8) * 8
@@ -146,10 +216,14 @@ def render_pallas(
     image = assemble(img_t, ch)
     final_t = assemble(final_t[..., None], 1)[..., 0]
     n_contrib = assemble(n_contrib[..., None], 1)[..., 0]
-    tile_overflow = jnp.maximum(jnp.max(binning.tile_count) - max_chunks * C_CHUNK, 0)
+    max_tile_count = jnp.max(binning.tile_count)
+    tile_overflow = jnp.maximum(max_tile_count - max_chunks * C_CHUNK, 0)
     return dict(
         image=image,
         final_T=final_t,
         n_contrib=n_contrib,
         tile_overflow=tile_overflow,
+        # Sizing diagnostics for the auto-grow protocol (raster.adaptive):
+        # the k_max a re-jit needs to cover the deepest tile exactly.
+        max_tile_count=max_tile_count,
     )

@@ -16,7 +16,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from sugar_tpu.core import quaternions as quat
 from sugar_tpu.core import sh as sh_lib
 from sugar_tpu.raster import common as rc
 
@@ -37,29 +36,48 @@ class Preprocessed:
     tiles_touched: jnp.ndarray  # (N,) int32
 
 
-def compute_cov3d(
+def _cov3d_channels(
     scales: jnp.ndarray, quaternions: jnp.ndarray, scale_modifier: float = 1.0
-) -> jnp.ndarray:
-    """(N,3) scales + (N,4) unit quats -> (N,3,3) world covariance.
+) -> tuple:
+    """(N,3) scales + (N,4) unit quats -> 6 (N,) covariance channels
+    (c00, c01, c02, c11, c12, c22).
 
     Sigma = R diag(s^2) R^T (forward.cu:118-152; quats are assumed already
     normalized, as the model activations guarantee).
 
-    TPU note: written as structure-of-arrays elementwise math on (N,)
-    channels — a batched (N,3,3) einsum lowers to 1M tiny MXU matmuls with
-    catastrophic padding (profiled ~90 ms at N=1M vs ~2 ms for this form).
+    TPU note: pure structure-of-arrays elementwise math on (N,) channels,
+    with NO (N,3,3) materialization anywhere — a batched einsum lowers to
+    1M tiny padded MXU matmuls (~90 ms at N=1M) and even stacking to
+    (N,3,3) and re-slicing costs multiple 36 MB HBM round-trips that XLA
+    does not always elide.
     """
-    R = quat.quaternion_to_matrix(quaternions)  # (N, 3, 3)
+    w, x, y, z = (quaternions[..., i] for i in range(4))
+    # Rotation matrix channels (3DGS build_rotation layout), never stacked.
+    r = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
     s2 = (scale_modifier * scales) ** 2  # (N, 3)
-    # Sigma_ik = sum_j R_ij s2_j R_kj; exploit symmetry, emit 6 channels.
-    r = [[R[..., i, j] for j in range(3)] for i in range(3)]
     s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
 
     def sig(i, k):
         return r[i][0] * s0 * r[k][0] + r[i][1] * s1 * r[k][1] + r[i][2] * s2_ * r[k][2]
 
-    c00, c01, c02 = sig(0, 0), sig(0, 1), sig(0, 2)
-    c11, c12, c22 = sig(1, 1), sig(1, 2), sig(2, 2)
+    return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
+
+
+def compute_cov3d(
+    scales: jnp.ndarray, quaternions: jnp.ndarray, scale_modifier: float = 1.0
+) -> jnp.ndarray:
+    """(N,3) scales + (N,4) unit quats -> (N,3,3) world covariance.
+
+    Public (N,3,3) form for API parity with the CUDA precomputed-cov3d
+    input; the internal hot path uses ``_cov3d_channels`` directly.
+    """
+    c00, c01, c02, c11, c12, c22 = _cov3d_channels(
+        scales, quaternions, scale_modifier
+    )
     row0 = jnp.stack([c00, c01, c02], axis=-1)
     row1 = jnp.stack([c01, c11, c12], axis=-1)
     row2 = jnp.stack([c02, c12, c22], axis=-1)
@@ -68,7 +86,7 @@ def compute_cov3d(
 
 def compute_cov2d(
     means3d: jnp.ndarray,
-    cov3d: jnp.ndarray,
+    cov3d,
     viewmatrix: jnp.ndarray,
     focal_x: float,
     focal_y: float,
@@ -77,8 +95,10 @@ def compute_cov2d(
 ) -> jnp.ndarray:
     """EWA projection of 3D covariance to 2D screen space (forward.cu:74-113).
 
-    Returns (N, 3) packed (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass
-    already added to the diagonal.
+    ``cov3d`` is either an (N,3,3) matrix array or a 6-tuple of (N,)
+    channels (c00, c01, c02, c11, c12, c22). Returns (N, 3) packed
+    (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass already added to the
+    diagonal.
     """
     W = viewmatrix[:3, :3]
     t = means3d @ W.T + viewmatrix[:3, 3]
@@ -105,9 +125,12 @@ def compute_cov2d(
     # M row0 = j00*W[0] + j02*W[2]; row1 = j11*W[1] + j12*W[2].
     m0 = [j00 * W[0, k] + j02 * W[2, k] for k in range(3)]  # 3 x (N,)
     m1 = [j11 * W[1, k] + j12 * W[2, k] for k in range(3)]
-    s = cov3d  # (N, 3, 3) symmetric
-    s00, s01, s02 = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
-    s11, s12, s22 = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
+    if isinstance(cov3d, tuple):
+        s00, s01, s02, s11, s12, s22 = cov3d
+    else:
+        s = cov3d  # (N, 3, 3) symmetric
+        s00, s01, s02 = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+        s11, s12, s22 = s[..., 1, 1], s[..., 1, 2], s[..., 2, 2]
 
     def quad(a, b):
         # a^T Sigma b for 3-channel lists a, b.
@@ -143,7 +166,7 @@ def preprocess(
     """
     n = means3d.shape[0]
     if cov3d is None:
-        cov3d = compute_cov3d(scales, quaternions, settings.scale_modifier)
+        cov3d = _cov3d_channels(scales, quaternions, settings.scale_modifier)
     if colors is None:
         dirs = means3d - settings.campos
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)

@@ -148,15 +148,6 @@ def make_coarse_step(
                 # coarse_sdf.py:578-604). Gradients flow through it.
                 zs = p.xyz @ camera.world_view[2, :3] + camera.world_view[2, 3]
                 max_depth = jnp.max(jnp.where(alive, zs, 0.0))
-                depth_out = render_params(
-                    p, alive, camera, 0,
-                    bg=jnp.full((3,), 1.0, jnp.float32) * max_depth,
-                    dup_capacity=dup_capacity, k_max=cfg.k_max,
-                )
-                # re-render with override colors: cheaper to reuse the same
-                # call path — use colors_override channel = z.
-                from sugar_tpu.models.render import render_model  # noqa
-
                 depth_img = _render_depth(
                     p, alive, camera, zs, max_depth, dup_capacity, cfg.k_max
                 )

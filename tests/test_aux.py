@@ -82,7 +82,10 @@ class TestNetworkGUI:
         th.start()
         import time
 
-        for _ in range(100):
+        # Generous deadline: under CPU contention the client thread can be
+        # starved for seconds; the poll itself is non-blocking.
+        deadline = time.time() + 30.0
+        while time.time() < deadline:
             out = gui.poll(lambda m: np.full((h, w, 3), 0.5))
             if out is not None:
                 break
