@@ -46,6 +46,10 @@ class PipelineConfig:
     resolution_factor: int = 1
     vanilla_iterations: int = 7_000
     capacity: int = 2**19
+    # Failure recovery (SURVEY.md §5): completed stages are skipped when
+    # their artifact exists, and each stage saves/resumes mid-stage
+    # milestones under <output_dir>/checkpoints/<stage>.
+    resume: bool = True
     # Optional stage-config overrides (tests / experimentation).
     vanilla_overrides: dict = dataclasses.field(default_factory=dict)
     coarse_overrides: dict = dataclasses.field(default_factory=dict)
@@ -75,8 +79,19 @@ def load_scene(cfg: PipelineConfig) -> ds.SceneData:
     return ds.load_colmap_scene(cfg.scene_path, resolution_factor=cfg.resolution_factor)
 
 
+def _stage_ckpt_dir(cfg: PipelineConfig, stage: str) -> str:
+    return os.path.join(cfg.output_dir, "checkpoints", stage)
+
+
 def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
     """Stage 0: prerequisite vanilla 3DGS (gaussian_splatting/train.py)."""
+    out_dir = os.path.join(
+        cfg.output_dir, "vanilla_gs", f"iteration_{cfg.vanilla_iterations}"
+    )
+    ckpt = os.path.join(out_dir, "point_cloud.ply")
+    if cfg.resume and os.path.exists(ckpt):
+        log_fn(json.dumps({"event": "stage_skip", "stage": "vanilla", "artifact": ckpt}))
+        return ckpt
     train_idx, _ = scene.split(cfg.eval_split)
     tkw = dict(
         iterations=cfg.vanilla_iterations,
@@ -93,12 +108,10 @@ def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
         extent=scene.extent,
         cfg=tcfg,
         log_fn=lambda d: log_fn(json.dumps(d)),
-    )
-    out_dir = os.path.join(
-        cfg.output_dir, "vanilla_gs", f"iteration_{cfg.vanilla_iterations}"
+        checkpoint_dir=_stage_ckpt_dir(cfg, "vanilla"),
+        resume=cfg.resume,
     )
     os.makedirs(out_dir, exist_ok=True)
-    ckpt = os.path.join(out_dir, "point_cloud.ply")
     gm.save_ply(state.model, ckpt)
     ds.save_cameras_json(
         os.path.join(cfg.output_dir, "vanilla_gs", "cameras.json"),
@@ -110,6 +123,10 @@ def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
 
 def run_coarse(cfg: PipelineConfig, scene: ds.SceneData, gs_ckpt: str, log_fn=print) -> str:
     """Stage 1: coarse surface alignment (train_coarse_{sdf,density})."""
+    out = os.path.join(cfg.output_dir, "coarse", "coarse_15000.ply")
+    if cfg.resume and os.path.exists(out):
+        log_fn(json.dumps({"event": "stage_skip", "stage": "coarse", "artifact": out}))
+        return out
     model = gm.load_ply(gs_ckpt)
     train_idx, _ = scene.split(cfg.eval_split)
     mode = "density" if cfg.regularization == "density" else "sdf"
@@ -123,8 +140,9 @@ def run_coarse(cfg: PipelineConfig, scene: ds.SceneData, gs_ckpt: str, log_fn=pr
         extent=scene.extent,
         cfg=ccfg,
         log_fn=lambda d: log_fn(json.dumps(d)),
+        checkpoint_dir=_stage_ckpt_dir(cfg, "coarse"),
+        resume=cfg.resume,
     )
-    out = os.path.join(cfg.output_dir, "coarse", "coarse_15000.ply")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     gm.save_ply(model, out)
     return out
@@ -132,6 +150,15 @@ def run_coarse(cfg: PipelineConfig, scene: ds.SceneData, gs_ckpt: str, log_fn=pr
 
 def run_extract_mesh(cfg: PipelineConfig, scene: ds.SceneData, coarse_ckpt: str, log_fn=print) -> str:
     """Stage 2: level-set sampling + Poisson + decimation (extract_mesh)."""
+    out_probe = os.path.join(
+        cfg.output_dir,
+        "coarse_mesh",
+        f"mesh_level{cfg.surface_level}_decim{cfg.n_vertices_in_mesh}.ply",
+    )
+    if cfg.resume and os.path.exists(out_probe):
+        log_fn(json.dumps({"event": "stage_skip", "stage": "extract_mesh",
+                           "artifact": out_probe}))
+        return out_probe
     model = gm.load_ply(coarse_ckpt)
     train_idx, _ = scene.split(cfg.eval_split)
     ekw = dict(
@@ -154,6 +181,16 @@ def run_extract_mesh(cfg: PipelineConfig, scene: ds.SceneData, coarse_ckpt: str,
 
 def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=print) -> str:
     """Stage 3: joint mesh + surface-Gaussian refinement (train_refined)."""
+    out = os.path.join(
+        cfg.output_dir,
+        "refined",
+        f"refined_{cfg.gaussians_per_triangle}gpt_{cfg.refinement_iterations}.ply",
+    )
+    if cfg.resume and os.path.exists(out) and os.path.exists(
+        out.replace(".ply", "_state.pkl")
+    ):
+        log_fn(json.dumps({"event": "stage_skip", "stage": "refine", "artifact": out}))
+        return out
     verts, faces, colors = ply_io.load_mesh_ply(mesh_path)
     vc = colors.astype(np.float32) / 255.0 if colors is not None else None
     train_idx, _ = scene.split(cfg.eval_split)
@@ -173,11 +210,8 @@ def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=
         extent=scene.extent,
         cfg=rcfg,
         log_fn=lambda d: log_fn(json.dumps(d)),
-    )
-    out = os.path.join(
-        cfg.output_dir,
-        "refined",
-        f"refined_{cfg.gaussians_per_triangle}gpt_{cfg.refinement_iterations}.ply",
+        checkpoint_dir=_stage_ckpt_dir(cfg, "refine"),
+        resume=cfg.resume,
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     export_refined_ply(params, bm, out)
@@ -206,6 +240,11 @@ def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=
 def run_texture(cfg: PipelineConfig, scene: ds.SceneData, refined_ply: str, log_fn=print) -> str:
     """Stage 4: UV texture baking + textured OBJ export
     (extract_refined_mesh_with_texture)."""
+    out_probe = os.path.join(cfg.output_dir, "refined_mesh", "textured.obj")
+    if cfg.resume and os.path.exists(out_probe):
+        log_fn(json.dumps({"event": "stage_skip", "stage": "texture",
+                           "artifact": out_probe}))
+        return out_probe
     import pickle
 
     import jax.numpy as jnp

@@ -28,6 +28,8 @@ from sugar_tpu.raster import common as rcm
 from sugar_tpu.raster.api import rasterize_gaussians
 from sugar_tpu.refine import bound as B
 from sugar_tpu.trainers import optimizer as opt
+from sugar_tpu.trainers.schedule import CameraSchedule
+from sugar_tpu.utils import checkpoint as ckpt
 from sugar_tpu.utils import losses
 
 
@@ -54,6 +56,8 @@ class RefineConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-15
+    # Reference refine milestones (refine.py:227): 2000/7000/15000.
+    checkpoint_iterations: tuple = (2_000, 7_000, 15_000)
 
 
 @jax.tree_util.register_dataclass
@@ -177,8 +181,15 @@ def refined_training(
     seed: int = 0,
     log_fn: Callable[[dict], None] | None = None,
     init_sh_dc: np.ndarray | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> tuple[B.BoundParams, B.BoundMesh]:
-    """Run refinement; returns the optimized bound parameters."""
+    """Run refinement; returns the optimized bound parameters.
+
+    With ``checkpoint_dir``, (params, Adam, iteration) are saved at
+    ``cfg.checkpoint_iterations`` (reference milestones refine.py:227);
+    with ``resume`` training restarts from the latest milestone replaying
+    the exact camera order."""
     params, bm = B.init_bound_params(
         vertices, faces, vertex_colors,
         n_gaussians_per_triangle=cfg.n_gaussians_per_triangle,
@@ -194,21 +205,36 @@ def refined_training(
     adam = init_bound_adam(params)
     dup_capacity = cfg.dup_capacity_mult * params.opacity_logit.shape[0]
 
-    order_rng = np.random.default_rng(seed)
-    cam_order: list[int] = []
+    start_iteration = 0
+    if checkpoint_dir and resume:
+        latest = ckpt.latest_milestone(checkpoint_dir, before=cfg.num_iterations)
+        if latest is not None:
+            like = dict(params=params, adam=adam, iteration=0)
+            st = ckpt.restore_structured(
+                ckpt.milestone_path(checkpoint_dir, latest), like
+            )
+            params, adam = st["params"], st["adam"]
+            start_iteration = int(st["iteration"])
+            if log_fn:
+                log_fn({"event": "resume", "iteration": start_iteration})
+
+    sched = CameraSchedule(seed, len(cameras))
     step_cache: dict[int, Callable] = {}
     t0 = time.time()
 
-    for it in range(cfg.num_iterations):
+    for it in range(start_iteration, cfg.num_iterations):
         deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
         if deg not in step_cache:
             step_cache[deg] = make_refine_step(cfg, bm, pairs, lrs, deg, dup_capacity)
-        if not cam_order:
-            cam_order = list(order_rng.permutation(len(cameras)))
-        ci = cam_order.pop()
+        ci = sched.index(it)
         params, adam, aux = step_cache[deg](
             params, adam, cameras[ci], jnp.asarray(images[ci]), jnp.asarray(it, jnp.int32)
         )
+        if checkpoint_dir and (it + 1) in cfg.checkpoint_iterations:
+            ckpt.save_milestone(
+                checkpoint_dir, it + 1,
+                dict(params=params, adam=adam, iteration=it + 1),
+            )
         if log_fn and ((it + 1) % cfg.log_every == 0):
             log_fn(
                 dict(

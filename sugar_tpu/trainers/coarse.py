@@ -45,6 +45,8 @@ from sugar_tpu.models.gaussians import GaussianModel, GaussianParams
 from sugar_tpu.models.render import render_params
 from sugar_tpu.core.quaternions import normalize as quat_normalize, quaternion_apply, quaternion_invert
 from sugar_tpu.trainers import optimizer as opt
+from sugar_tpu.trainers.schedule import CameraSchedule, iteration_key
+from sugar_tpu.utils import checkpoint as ckpt
 from sugar_tpu.utils import losses
 
 
@@ -77,6 +79,9 @@ class CoarseConfig:
     k_max: int = 1024
     dup_capacity_mult: int = 10
     log_every: int = 50
+    # Milestone saves (reference: coarse_sdf.py:224, 782-793 saves 15000;
+    # 9000 additionally captures the post-prune state).
+    checkpoint_iterations: tuple = (9_000, 15_000)
     optim: opt.OptimConfig = dataclasses.field(default_factory=opt.OptimConfig)
 
     @property
@@ -320,23 +325,49 @@ def train_coarse(
     cfg: CoarseConfig,
     seed: int = 0,
     log_fn: Callable[[dict], None] | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> GaussianModel:
     """Run the coarse stage from a trained 3DGS model (iteration 7000 ->
-    15000 by default)."""
+    15000 by default).
+
+    With ``checkpoint_dir``, state (params, alive, Adam, KNN table,
+    iteration) is saved at ``cfg.checkpoint_iterations``; with ``resume``,
+    training restarts from the latest milestone replaying the exact camera
+    order and per-iteration RNG (SURVEY.md §5)."""
     capacity = model.capacity
     adam = opt.init_adam(model.params)
     lrs = opt.group_lrs(cfg.optim, spatial_lr_scale=extent)
     dup_capacity = cfg.dup_capacity_mult * capacity
 
-    params, alive = model.params, model.alive
-    rng = jax.random.PRNGKey(seed)
-    order_rng = np.random.default_rng(seed)
-    cam_order: list[int] = []
+    # The jitted step donates its param/adam buffers; copy so the caller's
+    # model stays alive (it may be reused across runs).
+    params = jax.tree.map(jnp.copy, model.params)
+    alive = model.alive
     knn_idx = None
+    start_iteration = cfg.start_iteration
+    if checkpoint_dir and resume:
+        latest = ckpt.latest_milestone(checkpoint_dir, before=cfg.num_iterations)
+        if latest is not None and latest > start_iteration:
+            like = dict(
+                params=params, alive=alive, adam=adam,
+                knn_idx=jnp.zeros((capacity, cfg.knn_to_track), jnp.int32),
+                iteration=0,
+            )
+            st = ckpt.restore_structured(
+                ckpt.milestone_path(checkpoint_dir, latest), like
+            )
+            params, alive, adam = st["params"], st["alive"], st["adam"]
+            knn_idx = st["knn_idx"]
+            start_iteration = int(st["iteration"])
+            if log_fn:
+                log_fn({"event": "resume", "iteration": start_iteration})
+
+    sched = CameraSchedule(seed, len(scene_cameras))
     step_cache: dict = {}
     t0 = time.time()
 
-    for it in range(cfg.start_iteration, cfg.num_iterations):
+    for it in range(start_iteration, cfg.num_iterations):
         iteration = it + 1  # reference counts from 1 (coarse_sdf.py:468)
 
         with_entropy = cfg.entropy_start < iteration < cfg.entropy_end
@@ -356,10 +387,8 @@ def train_coarse(
                 cfg, lrs, extent, capacity, with_entropy, with_sdf, dup_capacity
             )
 
-        if not cam_order:
-            cam_order = list(order_rng.permutation(len(scene_cameras)))
-        ci = cam_order.pop()
-        rng, sub = jax.random.split(rng)
+        ci = sched.index(it - cfg.start_iteration)
+        sub = iteration_key(seed, it)
         params, adam, aux = step_cache[key](
             params, alive, adam, knn_idx, scene_cameras[ci],
             jnp.asarray(scene_images[ci]), jnp.asarray(it, jnp.int32), sub,
@@ -369,6 +398,13 @@ def train_coarse(
             op = jax.nn.sigmoid(params.opacity_logit)
             alive = alive & (op >= cfg.prune_hard_opacity_threshold)
             _, knn_idx = knn(params.xyz, params.xyz, k=cfg.knn_to_track, ref_mask=alive)
+
+        if checkpoint_dir and iteration in cfg.checkpoint_iterations:
+            ckpt.save_milestone(
+                checkpoint_dir, iteration,
+                dict(params=params, alive=alive, adam=adam,
+                     knn_idx=knn_idx, iteration=iteration),
+            )
 
         if log_fn and (iteration % cfg.log_every == 0):
             log_fn(

@@ -27,6 +27,8 @@ from sugar_tpu.models import densifier as dens
 from sugar_tpu.models.gaussians import GaussianModel, GaussianParams, create_from_pcd
 from sugar_tpu.models.render import render_params
 from sugar_tpu.trainers import optimizer as opt
+from sugar_tpu.trainers.schedule import CameraSchedule, iteration_key
+from sugar_tpu.utils import checkpoint as ckpt
 from sugar_tpu.utils import losses
 
 
@@ -50,6 +52,10 @@ class TrainConfig:
     k_max: int = 1024
     optim: opt.OptimConfig = dataclasses.field(default_factory=opt.OptimConfig)
     log_every: int = 200
+    # Milestone checkpoint iterations (reference saves at 7000/30000,
+    # gaussian_splatting/train.py --save_iterations). Active only when a
+    # checkpoint_dir is passed to the trainer.
+    checkpoint_iterations: tuple = (7_000,)
 
 
 def make_train_step(
@@ -122,32 +128,52 @@ def train_vanilla_3dgs(
     log_fn: Callable[[dict], None] | None = None,
     start_iteration: int = 0,
     model: GaussianModel | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
 ) -> TrainerState:
     """Run the vanilla 3DGS optimization. Cameras may have mixed
-    resolutions; each distinct resolution triggers one jit specialization."""
+    resolutions; each distinct resolution triggers one jit specialization.
+
+    With ``checkpoint_dir``, training state (params, alive, Adam, densify
+    stats, iteration) is saved at ``cfg.checkpoint_iterations`` milestones;
+    when ``resume`` and a milestone exists, training restarts from the
+    latest one and replays the exact camera order / RNG stream of the
+    uninterrupted run (SURVEY.md §5 checkpoint/resume)."""
     if model is None:
         model = create_from_pcd(points, colors, cfg.capacity, sh_degree=cfg.sh_degree)
+    else:
+        # The jitted step donates its buffers; keep the caller's model alive.
+        model = dataclasses.replace(model, params=jax.tree.map(jnp.copy, model.params))
     adam = opt.init_adam(model.params)
     stats = dens.DensifyStats.zeros(cfg.capacity)
     lrs = opt.group_lrs(cfg.optim, spatial_lr_scale=extent)
     dup_capacity = cfg.dup_capacity_mult * cfg.capacity
 
-    rng = jax.random.PRNGKey(seed)
-    order_rng = np.random.default_rng(seed)
-    n_cams = len(scene_cameras)
-    cam_order: list[int] = []
+    params, alive = model.params, model.alive
+    if checkpoint_dir and resume:
+        latest = ckpt.latest_milestone(checkpoint_dir, before=cfg.iterations)
+        if latest is not None and latest > start_iteration:
+            like = dict(params=params, alive=alive, adam=adam, stats=stats,
+                        iteration=0)
+            st = ckpt.restore_structured(
+                ckpt.milestone_path(checkpoint_dir, latest), like
+            )
+            params, alive = st["params"], st["alive"]
+            adam, stats = st["adam"], st["stats"]
+            start_iteration = int(st["iteration"])
+            if log_fn:
+                log_fn({"event": "resume", "iteration": start_iteration})
+
+    sched = CameraSchedule(seed, len(scene_cameras))
 
     step_cache: dict[int, Callable] = {}
-    params, alive = model.params, model.alive
     t0 = time.time()
 
     for it in range(start_iteration, cfg.iterations):
         active_deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
         if active_deg not in step_cache:
             step_cache[active_deg] = make_train_step(cfg, lrs, active_deg, dup_capacity)
-        if not cam_order:
-            cam_order = list(order_rng.permutation(n_cams))
-        ci = cam_order.pop()
+        ci = sched.index(it)
         cam = scene_cameras[ci]
         gt = jnp.asarray(scene_images[ci])
 
@@ -158,7 +184,7 @@ def train_vanilla_3dgs(
         it1 = it + 1
         if cfg.densify_from < it1 <= cfg.densify_until and it1 % cfg.densify_every == 0:
             model = dataclasses.replace(model, params=params, alive=alive)
-            rng, sub = jax.random.split(rng)
+            sub = iteration_key(seed, it1)
             mss = (
                 cfg.prune_max_screen
                 if it1 > cfg.opacity_reset_every
@@ -179,6 +205,13 @@ def train_vanilla_3dgs(
             model = dataclasses.replace(model, params=params, alive=alive)
             model, adam = dens.reset_opacity(model, adam)
             params = model.params
+
+        if checkpoint_dir and it1 in cfg.checkpoint_iterations:
+            ckpt.save_milestone(
+                checkpoint_dir, it1,
+                dict(params=params, alive=alive, adam=adam, stats=stats,
+                     iteration=it1),
+            )
 
         if log_fn and (it1 % cfg.log_every == 0 or it1 == cfg.iterations):
             log_fn(

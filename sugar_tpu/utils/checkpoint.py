@@ -76,3 +76,64 @@ def _to_pure(tree):
 
 def milestone_path(base_dir: str, iteration: int) -> str:
     return os.path.join(base_dir, f"milestone_{iteration}")
+
+
+def save_milestone(base_dir: str, iteration: int, state: dict[str, Any]) -> str:
+    """Save a training-state milestone (reference analog: the state_dict
+    saves at coarse_sdf.py:782-793 / refine.py:833-845)."""
+    path = milestone_path(base_dir, iteration)
+    save_checkpoint(path, state)
+    return path
+
+
+def latest_milestone(base_dir: str, before: int | None = None) -> int | None:
+    """Highest milestone iteration saved under ``base_dir`` (< ``before``
+    if given), or None. Recognizes both orbax dirs and npz fallbacks."""
+    if not os.path.isdir(base_dir):
+        return None
+    best = None
+    for name in os.listdir(base_dir):
+        stem = name[:-4] if name.endswith(".npz") else name
+        if not stem.startswith("milestone_"):
+            continue
+        try:
+            it = int(stem.split("_", 1)[1])
+        except ValueError:
+            continue
+        if before is not None and it >= before:
+            continue
+        if best is None or it > best:
+            best = it
+    return best
+
+
+def load_milestone(base_dir: str, iteration: int, like: dict[str, Any]) -> dict[str, Any]:
+    return load_checkpoint(milestone_path(base_dir, iteration), like)
+
+
+def restore_structured(path: str, like: Any) -> Any:
+    """Load a checkpoint and rebuild the dataclass structure of ``like``.
+
+    ``like`` provides both the tree structure and the static (non-pytree)
+    dataclass fields, which checkpoints do not carry."""
+    return _from_pure(like, load_checkpoint(path, like))
+
+
+def _from_pure(like: Any, data: Any) -> Any:
+    import jax.numpy as jnp
+
+    if dataclasses.is_dataclass(like) and not isinstance(like, type):
+        kwargs = {}
+        for f in dataclasses.fields(like):
+            if f.metadata.get("static", False):
+                kwargs[f.name] = getattr(like, f.name)
+            else:
+                kwargs[f.name] = _from_pure(getattr(like, f.name), data[f.name])
+        return type(like)(**kwargs)
+    if isinstance(like, dict):
+        return {k: _from_pure(v, data[k]) for k, v in like.items()}
+    if isinstance(like, (list, tuple)):
+        return type(like)(_from_pure(v, d) for v, d in zip(like, data))
+    if hasattr(like, "dtype") or isinstance(like, (int, float, bool)):
+        return jnp.asarray(data)
+    return data
