@@ -2,13 +2,23 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 #!/usr/bin/env python
 """Evaluation CLI — the reference's metrics.py protocol (PSNR/SSIM[/LPIPS]
-on the every-8th-image test split)."""
+on the every-8th-image test split) over all three evaluated objects:
+
+- ``--checkpoint``     gaussian PLY (vanilla / coarse / refined-exported)
+- ``--refined_state``  refined hybrid ``_state.pkl`` (bound Gaussians
+                       rendered via to_gaussian_arrays; reference
+                       metrics.py:283-292)
+- ``--textured_obj``   UV-textured OBJ render (mesh rasterizer + texel
+                       lookup; reference metrics.py:292-300 via
+                       MeshRasterizer + TexturesUV)
+
+Each given object adds one row to the output JSON.
+"""
 
 import argparse
 import json
 import os
 
-import jax.numpy as jnp
 import numpy as np
 
 from sugar_tpu.eval.metrics import evaluate_renders, write_metrics_json
@@ -19,19 +29,82 @@ from sugar_tpu.pipeline import PipelineConfig, load_scene
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scene_path", required=True)
-    p.add_argument("--checkpoint", required=True, help="gaussian PLY to evaluate")
+    p.add_argument("--checkpoint", default=None, help="gaussian PLY to evaluate")
+    p.add_argument("--refined_state", default=None, help="refined _state.pkl")
+    p.add_argument("--textured_obj", default=None, help="textured mesh OBJ")
     p.add_argument("--output", default="./output/metrics/results.json")
     p.add_argument("--lpips_weights", default=None)
     args = p.parse_args()
+    if not (args.checkpoint or args.refined_state or args.textured_obj):
+        p.error("give at least one of --checkpoint / --refined_state / --textured_obj")
 
     scene = load_scene(PipelineConfig(scene_path=args.scene_path))
-    model = gm.load_ply(args.checkpoint)
     _, test_idx = scene.split(True)
+    results = {}
 
-    def render_fn(i):
-        return render_model(model, scene.cameras[i])["image"]
+    if args.checkpoint:
+        model = gm.load_ply(args.checkpoint)
 
-    results = evaluate_renders(render_fn, scene.images, test_idx, args.lpips_weights)
+        def render_fn(i):
+            return render_model(model, scene.cameras[i])["image"]
+
+        results["gaussians"] = evaluate_renders(
+            render_fn, scene.images, test_idx, args.lpips_weights
+        )
+
+    if args.refined_state:
+        import jax.numpy as jnp
+
+        from sugar_tpu.refine.trainer import load_refined_state, render_bound
+
+        params, bm = load_refined_state(args.refined_state)
+        sh_degree = int(round(np.sqrt(params.sh_rest.shape[-1] + 1))) - 1
+        bg = jnp.zeros((3,), jnp.float32)
+
+        def render_refined(i):
+            return render_bound(
+                params, bm, scene.cameras[i], sh_degree, bg, 2**21, 1024
+            )["image"]
+
+        results["refined"] = evaluate_renders(
+            render_refined, scene.images, test_idx, args.lpips_weights
+        )
+
+    if args.textured_obj:
+        from PIL import Image
+
+        from sugar_tpu.io.obj import load_obj
+        from sugar_tpu.refine.texture import render_textured_mesh
+
+        verts, faces, uvs, fuv = load_obj(args.textured_obj)
+        if uvs is None or fuv is None:
+            raise SystemExit(f"{args.textured_obj} has no UVs")
+        # save_obj writes vt = (v, 1 - u) for atlas coords (u=row, v=col);
+        # invert to recover the atlas layout render_textured_mesh expects.
+        vt = uvs[fuv]  # (F, 3, 2) OBJ-convention
+        verts_uv = np.stack([1.0 - vt[..., 1], vt[..., 0]], axis=-1)
+        png = os.path.splitext(args.textured_obj)[0] + ".png"
+        texture = np.asarray(Image.open(png)).astype(np.float32)[..., :3] / 255.0
+
+        def render_textured(i):
+            return render_textured_mesh(
+                verts, faces, verts_uv, texture, scene.cameras[i]
+            )
+
+        results["textured"] = evaluate_renders(
+            render_textured, scene.images, test_idx, args.lpips_weights
+        )
+
     scene_name = os.path.basename(os.path.normpath(args.scene_path))
     write_metrics_json(args.output, scene_name, results)
-    print(json.dumps({scene_name: {k: v for k, v in results.items() if not k.startswith("per_")}}, indent=2))
+    print(
+        json.dumps(
+            {
+                scene_name: {
+                    obj: {k: v for k, v in r.items() if not k.startswith("per_")}
+                    for obj, r in results.items()
+                }
+            },
+            indent=2,
+        )
+    )

@@ -13,6 +13,9 @@ if __name__ == "__main__":
     p.add_argument("-o", "--output_dir", default="./output")
     p.add_argument("--iterations", type=int, default=7000)
     p.add_argument("--white_background", action="store_true")
+    p.add_argument("--ip", default=None, help="network-GUI host (enables the "
+                   "live-viewer protocol server, reference train.py:52-65)")
+    p.add_argument("--port", type=int, default=6009)
     args = p.parse_args()
     cfg = PipelineConfig(
         scene_path=args.scene_path,
@@ -20,4 +23,9 @@ if __name__ == "__main__":
         vanilla_iterations=args.iterations,
         white_background=args.white_background,
     )
-    print("checkpoint:", run_vanilla(cfg, load_scene(cfg)))
+    gui = None
+    if args.ip:
+        from sugar_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+    print("checkpoint:", run_vanilla(cfg, load_scene(cfg), network_gui=gui))

@@ -83,7 +83,9 @@ def _stage_ckpt_dir(cfg: PipelineConfig, stage: str) -> str:
     return os.path.join(cfg.output_dir, "checkpoints", stage)
 
 
-def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
+def run_vanilla(
+    cfg: PipelineConfig, scene: ds.SceneData, log_fn=print, network_gui=None
+) -> str:
     """Stage 0: prerequisite vanilla 3DGS (gaussian_splatting/train.py)."""
     out_dir = os.path.join(
         cfg.output_dir, "vanilla_gs", f"iteration_{cfg.vanilla_iterations}"
@@ -110,6 +112,8 @@ def run_vanilla(cfg: PipelineConfig, scene: ds.SceneData, log_fn=print) -> str:
         log_fn=lambda d: log_fn(json.dumps(d)),
         checkpoint_dir=_stage_ckpt_dir(cfg, "vanilla"),
         resume=cfg.resume,
+        network_gui=network_gui,
+        source_path=cfg.scene_path,
     )
     os.makedirs(out_dir, exist_ok=True)
     gm.save_ply(state.model, ckpt)

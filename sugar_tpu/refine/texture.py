@@ -114,3 +114,44 @@ def bake_texture(
     observed = cnt > 0
     texture[observed] = (acc[observed] / cnt[observed, None]).astype(np.float32)
     return texture.reshape(tex_size, tex_size, 3), verts_uv, tex_size
+
+
+def render_textured_mesh(
+    vertices,
+    faces,
+    verts_uv: np.ndarray,
+    texture: np.ndarray,
+    camera,
+    bg: np.ndarray | None = None,
+    dup_capacity: int = 2**20,
+    k_max: int = 256,
+) -> np.ndarray:
+    """Render the UV-textured mesh for one camera: rasterize (face id +
+    barycentrics), interpolate per-face-corner UVs, sample the texture with
+    nearest texels (the atlas has per-square insets so nearest matches the
+    bake). The TPU-native equivalent of the reference's textured-render
+    evaluation (metrics.py:283-300, MeshRasterizer + TexturesUV).
+
+    ``verts_uv`` is (F, 3, 2) per-face-corner UVs (build_uv_atlas layout);
+    ``texture`` is (S, S, 3) float. Returns (H, W, 3) float image.
+    """
+    import jax.numpy as jnp
+
+    ras = rasterize_mesh(
+        jnp.asarray(vertices), jnp.asarray(faces), camera,
+        dup_capacity=dup_capacity, k_max=k_max,
+    )
+    fidx = np.asarray(ras["face_idx"])  # (H, W)
+    bary = np.asarray(ras["bary"])  # (H, W, 3)
+    h, w = fidx.shape
+    tex_size = texture.shape[0]
+    hit = fidx >= 0
+    f_h = fidx[hit]
+    uv = np.einsum("nkc,nk->nc", verts_uv[f_h], bary[hit])
+    ti = np.clip((uv[:, 0] * tex_size).astype(np.int64), 0, tex_size - 1)
+    tj = np.clip((uv[:, 1] * tex_size).astype(np.int64), 0, tex_size - 1)
+    img = np.zeros((h, w, 3), np.float32)
+    if bg is not None:
+        img[:] = np.asarray(bg, np.float32)
+    img[hit] = texture.reshape(-1, 3)[ti * tex_size + tj]
+    return img

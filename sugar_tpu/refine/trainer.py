@@ -265,3 +265,31 @@ def export_refined_ply(params: B.BoundParams, bm: B.BoundMesh, path: str) -> Non
         log_scales=np.log(np.maximum(np.asarray(arrs["scales"]), 1e-10)),
         quaternions=np.asarray(arrs["quaternions"]),
     )
+
+
+def load_refined_state(state_path: str) -> tuple[B.BoundParams, B.BoundMesh]:
+    """Load a refined-model ``_state.pkl`` (written by pipeline.run_refine)
+    back into (BoundParams, BoundMesh) — the hybrid representation the
+    reference evaluates in metrics.py:283-300."""
+    import pickle
+
+    import numpy as np
+
+    with open(state_path, "rb") as f:
+        st = pickle.load(f)
+    params = B.BoundParams(
+        vertices=jnp.asarray(st["vertices"]),
+        log_scales=jnp.asarray(st["log_scales"]),
+        complex_rot=jnp.asarray(st["complex_rot"]),
+        opacity_logit=jnp.asarray(st["opacity_logit"]),
+        sh_dc=jnp.asarray(st["sh_dc"]),
+        sh_rest=jnp.asarray(st["sh_rest"]),
+    )
+    _, bary = B.BARY_TABLES[st["n_per_triangle"]]
+    bm = B.BoundMesh(
+        faces=jnp.asarray(np.asarray(st["faces"]).astype(np.int32)),
+        bary=jnp.asarray(np.asarray(bary).astype(np.float32)),
+        thickness=jnp.asarray(st["thickness"], jnp.float32),
+        n_per_triangle=st["n_per_triangle"],
+    )
+    return params, bm

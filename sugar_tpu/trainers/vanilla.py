@@ -130,6 +130,8 @@ def train_vanilla_3dgs(
     model: GaussianModel | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = True,
+    network_gui=None,
+    source_path: str = "",
 ) -> TrainerState:
     """Run the vanilla 3DGS optimization. Cameras may have mixed
     resolutions; each distinct resolution triggers one jit specialization.
@@ -169,7 +171,27 @@ def train_vanilla_3dgs(
     step_cache: dict[int, Callable] = {}
     t0 = time.time()
 
+    def _gui_render(msg: dict):
+        """Render the live model for an interactive-viewer poll
+        (reference gaussian_splatting/train.py:52-65)."""
+        from sugar_tpu.models.render import render_model
+        from sugar_tpu.viewer.network_gui import camera_from_message
+
+        cam = camera_from_message(msg)
+        live = dataclasses.replace(model, params=params, alive=alive)
+        return render_model(live, cam, dup_capacity=dup_capacity, k_max=cfg.k_max)[
+            "image"
+        ]
+
     for it in range(start_iteration, cfg.iterations):
+        if network_gui is not None:
+            # One protocol round per iteration while a viewer is connected;
+            # `keep_alive` semantics match the reference (train.py:62-65).
+            network_gui.poll(
+                _gui_render,
+                training_done=False,
+                source_path=source_path,
+            )
         active_deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
         if active_deg not in step_cache:
             step_cache[active_deg] = make_train_step(cfg, lrs, active_deg, dup_capacity)

@@ -6,8 +6,12 @@ import socket
 import struct
 import threading
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 class TestCheckpoint:
@@ -224,3 +228,114 @@ class TestLPIPS:
         from sugar_tpu.eval.metrics import make_lpips
 
         assert make_lpips("/nonexistent/path.npz") is None
+
+    def test_trainer_serves_protocol_round(self, tmp_path):
+        """train_vanilla_3dgs polls the GUI each iteration: a client that
+        connects mid-training receives a live render (reference
+        train.py:52-65)."""
+        import jax.numpy as jnp
+
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.trainers.vanilla import TrainConfig, train_vanilla_3dgs
+        from sugar_tpu.viewer.network_gui import NetworkGUI
+
+        gui = NetworkGUI(port=0)
+        host, port = gui.listener.getsockname()
+        h = w = 8
+        msg = dict(
+            resolution_x=w, resolution_y=h, fov_x=1.0, fov_y=1.0,
+            view_matrix=list(np.eye(4, dtype=np.float64).reshape(-1)),
+            view_projection_matrix=list(np.eye(4).reshape(-1)),
+        )
+        received = {}
+
+        def client():
+            c = socket.create_connection((host, port), timeout=30)
+            payload = json.dumps(msg).encode()
+            c.sendall(struct.pack("<I", len(payload)) + payload)
+            data = b""
+            while len(data) < h * w * 3:
+                chunk = c.recv(4096)
+                if not chunk:
+                    break
+                data += chunk
+            received["img"] = data[: h * w * 3]
+            c.close()
+
+        th = threading.Thread(target=client)
+        th.start()
+
+        g = np.random.default_rng(0)
+        pts = g.normal(size=(32, 3)).astype(np.float32) * 0.3 + [0, 0, 3]
+        cols = np.full((32, 3), 0.5, np.float32)
+        cam = make_camera(
+            R=np.eye(3), T=np.zeros(3), fov_x=1.0, fov_y=1.0, height=16, width=16
+        )
+        gt = np.full((16, 16, 3), 0.4, np.float32)
+        cfg = TrainConfig(
+            iterations=300, sh_degree=0, capacity=64, densify_from=10_000,
+            densify_until=10_000, opacity_reset_every=10_000,
+            k_max=64, log_every=1_000, checkpoint_iterations=(),
+        )
+        train_vanilla_3dgs(
+            [cam], [gt], pts, cols, extent=1.0, cfg=cfg, network_gui=gui
+        )
+        th.join(timeout=10)
+        gui.close()
+        assert "img" in received and len(received["img"]) == h * w * 3
+
+
+class TestComposeAnimation:
+    def test_animation_frames_end_to_end(self, tmp_path):
+        """compose_animation CLI: two PLYs + trajectory + per-frame rigid
+        transforms -> PNG frames (sugar_compositor.py:12-245 flow)."""
+        import subprocess
+        import sys
+
+        import jax.numpy as jnp
+
+        from sugar_tpu.models.gaussians import create_from_pcd, save_ply
+
+        g = np.random.default_rng(0)
+        pts = (0.3 * g.normal(size=(20, 3))).astype(np.float32) + [0, 0, 3]
+        cols = np.full((20, 3), 0.7, np.float32)
+        m = create_from_pcd(pts, cols, capacity=20, sh_degree=0,
+                            initial_opacity=0.9)
+        ply1 = str(tmp_path / "a.ply")
+        ply2 = str(tmp_path / "b.ply")
+        save_ply(m, ply1)
+        save_ply(m, ply2)
+
+        c2w = np.eye(4)
+        c2w[:3, 1:3] *= -1  # Blender axes (loader flips back)
+        traj = [dict(matrix_world=c2w.reshape(-1).tolist(), lens=35.0)
+                for _ in range(2)]
+        anim = [
+            [dict(R=np.eye(3).tolist(), t=[0, 0, 0]),
+             dict(R=np.eye(3).tolist(), t=[0.5, 0, 0])]
+            for _ in range(2)
+        ]
+        tr_path = tmp_path / "traj.json"
+        an_path = tmp_path / "anim.json"
+        tr_path.write_text(json.dumps(traj))
+        an_path.write_text(json.dumps(anim))
+
+        out_dir = tmp_path / "frames"
+        env = dict(JAX_PLATFORMS="cpu", PATH=os.environ["PATH"],
+                   HOME=os.environ.get("HOME", "/root"))
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts/compose_animation.py"),
+             "--ply", ply1, "--ply", ply2,
+             "--trajectory", str(tr_path), "--animation", str(an_path),
+             "--height", "32", "--width", "32", "--k_max", "64",
+             "-o", str(out_dir)],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        frames = sorted(out_dir.glob("frame_*.png"))
+        assert len(frames) == 2
+        from PIL import Image
+
+        img = np.asarray(Image.open(frames[0]))
+        assert img.shape == (32, 32, 3)
+        assert img.max() > 0  # something rendered

@@ -115,3 +115,36 @@ class TestBakeTexture:
 
         assert os.path.exists(str(tmp_path / "m.png"))
         assert os.path.exists(str(tmp_path / "m.mtl"))
+
+
+class TestTexturedRenderEval:
+    def test_textured_render_roundtrip_through_obj(self, tmp_path):
+        """Bake a constant-color texture, export the OBJ, reload it with
+        the metrics-CLI UV convention, and render: pixels covered by the
+        mesh must show the baked color (the reference's textured-render
+        eval object, metrics.py:292-300)."""
+        from sugar_tpu.refine.texture import render_textured_mesh
+
+        verts, faces = facing_quad()
+        uv, size = build_uv_atlas(len(faces), square_size=10)
+        texture = np.full((size, size, 3), [0.2, 0.6, 0.9], np.float32)
+        obj_path = str(tmp_path / "tex.obj")
+        save_obj(obj_path, verts, faces, verts_uv=uv, texture=texture)
+
+        lv, lf, luv, lfuv = load_obj(obj_path)
+        vt = luv[lfuv]
+        verts_uv = np.stack([1.0 - vt[..., 1], vt[..., 0]], axis=-1)
+        from PIL import Image
+
+        png = obj_path.replace(".obj", ".png")
+        tex = np.asarray(Image.open(png)).astype(np.float32)[..., :3] / 255.0
+
+        cam = make_camera(
+            R=np.eye(3), T=np.zeros(3), fov_x=1.2, fov_y=1.2, height=48, width=48
+        )
+        img = render_textured_mesh(
+            lv, lf, verts_uv, tex, cam, dup_capacity=1024, k_max=16
+        )
+        center = img[24, 24]
+        np.testing.assert_allclose(center, [0.2, 0.6, 0.9], atol=0.02)
+        np.testing.assert_allclose(img[0, 0], 0.0, atol=1e-6)
