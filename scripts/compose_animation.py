@@ -68,6 +68,15 @@ def main() -> None:
     base_sets = [set_from_ply(path) for path in args.ply]
     cams = load_camera_trajectory(args.trajectory, args.height, args.width)
     anims = load_animation_transforms(args.animation) if args.animation else None
+    if anims is not None:
+        # Validate up front: a short frame entry would otherwise raise
+        # IndexError mid-render, after frames were already written.
+        for f, tr in enumerate(anims):
+            if len(tr) != len(base_sets):
+                raise SystemExit(
+                    f"animation frame {f} has {len(tr)} transforms but "
+                    f"{len(base_sets)} --ply components were given"
+                )
     os.makedirs(args.output_dir, exist_ok=True)
 
     for f, cam in enumerate(cams):

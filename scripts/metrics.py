@@ -34,6 +34,11 @@ if __name__ == "__main__":
     p.add_argument("--textured_obj", default=None, help="textured mesh OBJ")
     p.add_argument("--output", default="./output/metrics/results.json")
     p.add_argument("--lpips_weights", default=None)
+    p.add_argument(
+        "--white_background", action="store_true",
+        help="render refined state over a white background (match scenes "
+        "trained with white_background, e.g. NeRF-synthetic)",
+    )
     args = p.parse_args()
     if not (args.checkpoint or args.refined_state or args.textured_obj):
         p.error("give at least one of --checkpoint / --refined_state / --textured_obj")
@@ -59,12 +64,26 @@ if __name__ == "__main__":
 
         params, bm = load_refined_state(args.refined_state)
         sh_degree = int(round(np.sqrt(params.sh_rest.shape[-1] + 1))) - 1
-        bg = jnp.zeros((3,), jnp.float32)
+        bg = jnp.full((3,), 1.0 if args.white_background else 0.0, jnp.float32)
+        # Size the duplication buffer from the model like refined_training
+        # does (8 entries/Gaussian): a fixed 2**21 overflows for low_poly
+        # models (~2.4M bound Gaussians) and silently drops primitives.
+        n_bound = int(params.opacity_logit.shape[0])
+        dup_cap = max(2**21, 8 * n_bound)
 
         def render_refined(i):
-            return render_bound(
-                params, bm, scene.cameras[i], sh_degree, bg, 2**21, 1024
-            )["image"]
+            out = render_bound(
+                params, bm, scene.cameras[i], sh_degree, bg, dup_cap, 1024
+            )
+            ovf = int(out.get("bin_overflow", 0))
+            if ovf > 0:
+                print(
+                    f"WARNING: refined render view {i}: bin_overflow={ovf} "
+                    "duplications dropped — metrics understate quality; "
+                    "re-run with a larger capacity",
+                    file=_sys.stderr,
+                )
+            return out["image"]
 
         results["refined"] = evaluate_renders(
             render_refined, scene.images, test_idx, args.lpips_weights

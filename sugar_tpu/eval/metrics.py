@@ -28,9 +28,17 @@ def evaluate_renders(
     indices: list[int],
     lpips_weights: str | None = None,
 ) -> dict:
-    """Evaluate render_fn(camera_index) against ground truth on `indices`."""
+    """Evaluate render_fn(camera_index) against ground truth on `indices`.
+
+    LPIPS is only reported as ``lpips`` when the weights file carries
+    calibrated heads; uncalibrated placeholder files (written by
+    export_lpips_weights --allow-uncalibrated) are reported under
+    ``lpips_uncalibrated`` so they can never masquerade as the metric."""
     psnrs, ssims, lpips_vals = [], [], []
     lp = make_lpips(lpips_weights) if lpips_weights else None
+    lpips_key = "lpips"
+    if lp is not None and lpips_weights and not _weights_calibrated(lpips_weights):
+        lpips_key = "lpips_uncalibrated"
     for i in indices:
         img = np.clip(np.asarray(render_fn(i)), 0.0, 1.0)
         gt = np.clip(gt_images[i], 0.0, 1.0)
@@ -46,8 +54,22 @@ def evaluate_renders(
         per_image_ssim=ssims,
     )
     if lpips_vals:
-        out["lpips"] = float(np.mean(lpips_vals))
+        out[lpips_key] = float(np.mean(lpips_vals))
     return out
+
+
+def _weights_calibrated(weights_path: str) -> bool:
+    """True iff the npz declares calibrated LPIPS heads. Legacy files
+    without the flag are trusted unless their name marks them."""
+    if ".uncalibrated." in os.path.basename(weights_path):
+        return False
+    try:
+        with np.load(weights_path) as w:
+            if "calibrated" in w:
+                return bool(int(w["calibrated"]))
+    except (OSError, ValueError):
+        return False
+    return True
 
 
 def write_metrics_json(path: str, scene_name: str, results: dict) -> None:

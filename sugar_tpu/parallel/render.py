@@ -118,14 +118,22 @@ def render_sharded(
     tile_cap: int = 16,
     route_cap: int | None = None,
     k_max: int = 8192,
-    use_kernel: bool = True,
+    use_kernel: bool | str = "auto",
 ) -> dict[str, Any]:
     """Render one view with Gaussians and image-tile bands sharded over
     ``axis`` of ``mesh``. Inputs are (N, ...) global arrays (sharded or
     replicated; shard_map partitions them); the returned image is sharded
     by pixel-row bands. ``route_cap`` is the per-(source, destination)
     dup-entry capacity of the all_to_all routing step.
+
+    ``use_kernel``: "auto" (default) runs the Pallas compositor on TPU
+    and the exact-semantics pure-JAX ``tile_composite_reference`` on
+    other backends — the TPU interpreter deadlocks when simulating many
+    devices inside shard_map, so interpret mode is only sound for small
+    meshes (explicitly pass True, as the 2-device kernel tests do).
     """
+    if use_kernel == "auto":
+        use_kernel = jax.default_backend() == "tpu"
     s = mesh.shape[axis]
     tiles_x, tiles_y = settings.tiles_x, settings.tiles_y
     if tiles_y % s != 0:

@@ -108,7 +108,7 @@ def make_tile_sharded_train_step(
     k_max: int = 8192,
     lambda_dssim: float = 0.2,
     white_background: bool = False,
-    use_kernel: bool = True,
+    use_kernel: bool | str = "auto",
 ):
     """Single-view train step with ALL devices cooperating on one render:
     Gaussian shards + image tile bands over ``axis`` (parallel.render).

@@ -249,32 +249,12 @@ def run_texture(cfg: PipelineConfig, scene: ds.SceneData, refined_ply: str, log_
         log_fn(json.dumps({"event": "stage_skip", "stage": "texture",
                            "artifact": out_probe}))
         return out_probe
-    import pickle
-
-    import jax.numpy as jnp
-
-    from sugar_tpu.refine import bound as B
     from sugar_tpu.refine.extract_textured import TextureConfig, extract_textured_mesh
+    from sugar_tpu.refine.trainer import load_refined_state
 
-    with open(refined_ply.replace(".ply", "_state.pkl"), "rb") as f:
-        st = pickle.load(f)
-    params = B.BoundParams(
-        vertices=jnp.asarray(st["vertices"]),
-        log_scales=jnp.asarray(st["log_scales"]),
-        complex_rot=jnp.asarray(st["complex_rot"]),
-        opacity_logit=jnp.asarray(st["opacity_logit"]),
-        sh_dc=jnp.asarray(st["sh_dc"]),
-        sh_rest=jnp.asarray(st["sh_rest"]),
-    )
-    _, bary = B.BARY_TABLES[st["n_per_triangle"]]
-    bm = B.BoundMesh(
-        faces=jnp.asarray(st["faces"].astype(np.int32)),
-        bary=jnp.asarray(bary.astype(np.float32)),
-        thickness=jnp.asarray(st["thickness"], np.float32),
-        n_per_triangle=st["n_per_triangle"],
-    )
+    params, bm = load_refined_state(refined_ply.replace(".ply", "_state.pkl"))
     train_idx, _ = scene.split(cfg.eval_split)
-    sh_degree = int(round(np.sqrt(st["sh_rest"].shape[-1] + 1))) - 1
+    sh_degree = int(round(np.sqrt(params.sh_rest.shape[-1] + 1))) - 1
     out = os.path.join(cfg.output_dir, "refined_mesh", "textured.obj")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     extract_textured_mesh(

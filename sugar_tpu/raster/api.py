@@ -41,7 +41,13 @@ def rasterize_gaussians(
     tile_cap: int | None = None,
 ) -> dict[str, Any]:
     """Render one view. Returns dict(image (H,W,C), radii, final_T, n_contrib,
-    plus overflow diagnostics for the tiled path)."""
+    plus overflow diagnostics for the tiled path).
+
+    ``tile_cap`` (pallas mode): per-Gaussian cap on covered tile rects.
+    When None it is derived as max(16, dup_capacity // N); a Gaussian
+    touching more tiles than the cap has the excess rects dropped and
+    counted in ``bin_overflow`` — check it (or use raster.adaptive) when
+    rendering scenes with large near-camera splats."""
     prep = preprocess(
         means3d,
         opacities,
@@ -76,8 +82,12 @@ def rasterize_gaussians(
             dup_capacity = 8 * means3d.shape[0]
         if tile_cap is None:
             # Per-Gaussian tile-rect capacity; derived from the legacy
-            # total-duplication capacity when not given explicitly.
-            tile_cap = max(1, dup_capacity // means3d.shape[0])
+            # total-duplication capacity when not given explicitly, floored
+            # at 16 so large near-camera splats are not silently clipped
+            # when dup_capacity/N is small (overflow is still counted in
+            # bin_overflow; callers wanting a tighter clip pass tile_cap
+            # explicitly).
+            tile_cap = max(16, dup_capacity // means3d.shape[0])
         binning = bin_gaussians_dense(prep, settings, tile_cap, capacity=dup_capacity)
         out = render_pallas(
             prep, binning, settings, max_per_tile=k_max, seg_cap=tile_cap

@@ -43,6 +43,7 @@ Gradient conventions match CUDA: straight-through 0.99 alpha clamp, hard
 
 from __future__ import annotations
 
+
 import functools
 
 import jax
@@ -51,6 +52,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sugar_tpu.raster import common as rc
+
+
+def _interpret_param():
+    """TPU-semantics interpreter on non-TPU backends (tests, the driver's
+    virtual-CPU multichip dryrun); False (Mosaic lowering) on real
+    hardware. Mirrors the CUDA rasterizer's debug cross-check spirit
+    (diff_gaussian_rasterization/__init__.py:83-90): the same kernel code
+    runs everywhere, just interpreted where Mosaic can't lower. Passed as
+    the pallas_call interpret= param (not a context manager) because
+    custom_vjp fwd/bwd traces are deferred outside any caller's dynamic
+    context."""
+    if jax.default_backend() != "tpu":
+        return pltpu.InterpretParams()
+    return False
 
 C_CHUNK = 256  # gaussians per DMA'd chunk (2 x 128 lanes)
 # Live packed component rows = 6 + CH (mean2d 2, conic 3, opacity 1,
@@ -413,6 +428,7 @@ def _make_fwd(tiles_x, num_tiles, ch, max_chunks):
             jax.ShapeDtypeStruct((num_tiles, rec, P_TILE), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles, 1, 128), jnp.int32),
         ],
+        interpret=_interpret_param(),
     )
 
 
@@ -446,6 +462,7 @@ def _make_bwd(tiles_x, num_tiles, ch, max_chunks, capacity_pad):
         # is aliased to the grad output, zero-initializing the RMW target.
         input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret_param(),
     )
 
 

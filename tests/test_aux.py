@@ -339,3 +339,61 @@ class TestComposeAnimation:
         img = np.asarray(Image.open(frames[0]))
         assert img.shape == (32, 32, 3)
         assert img.max() > 0  # something rendered
+
+
+class TestLPIPSCalibration:
+    def test_weights_calibrated_flag_and_filename(self, tmp_path):
+        import numpy as np
+
+        from sugar_tpu.eval.metrics import _weights_calibrated
+
+        cal = str(tmp_path / "w.npz")
+        np.savez(cal, calibrated=np.asarray(1, np.int32))
+        assert _weights_calibrated(cal)
+
+        uncal = str(tmp_path / "w2.npz")
+        np.savez(uncal, calibrated=np.asarray(0, np.int32))
+        assert not _weights_calibrated(uncal)
+
+        # filename marker wins even without the flag
+        named = str(tmp_path / "w.uncalibrated.npz")
+        np.savez(named, lin0=np.zeros(3, np.float32))
+        assert not _weights_calibrated(named)
+
+        # legacy file with no flag: trusted
+        legacy = str(tmp_path / "legacy.npz")
+        np.savez(legacy, lin0=np.zeros(3, np.float32))
+        assert _weights_calibrated(legacy)
+
+    def test_evaluate_renders_labels_uncalibrated(self, tmp_path):
+        import numpy as np
+
+        from sugar_tpu.eval.metrics import _VGG_CFG, evaluate_renders
+
+        rng = np.random.default_rng(0)
+        w = {}
+        idx = 0
+        cin = 3
+        slice_channels = []
+        for c in _VGG_CFG:
+            if c == "M":
+                idx += 1
+            else:
+                w[f"features.{idx}.weight"] = rng.normal(
+                    scale=0.05, size=(c, cin, 3, 3)
+                ).astype(np.float32)
+                w[f"features.{idx}.bias"] = np.zeros((c,), np.float32)
+                cin = c
+                idx += 2
+                if idx - 1 in (3, 8, 15, 22, 29):
+                    slice_channels.append(c)
+        for k, c in enumerate(slice_channels):
+            w[f"lin{k}"] = np.full((c,), 1.0 / c, np.float32)
+        w["calibrated"] = np.asarray(0, np.int32)
+        path = str(tmp_path / "w.npz")
+        np.savez(path, **w)
+
+        imgs = [rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)]
+        out = evaluate_renders(lambda i: imgs[i], imgs, [0], path)
+        assert "lpips" not in out
+        assert "lpips_uncalibrated" in out

@@ -326,3 +326,43 @@ class TestGradients:
         )
         for gr in grads:
             assert np.isfinite(np.asarray(gr)).all()
+
+
+class TestTileCapFloor:
+    def test_derived_tile_cap_floor_keeps_large_splats(self):
+        """A legacy caller passing a small dup_capacity (so dup_capacity//N
+        is tiny) must not silently clip near-camera splats covering many
+        tiles: the derived tile_cap is floored at 16 (raster/api.py)."""
+        n = 32
+        g = np.random.default_rng(3)
+        # One big near splat (covers many tiles) + small background splats.
+        means = np.concatenate(
+            [
+                np.array([[0.0, 0.0, 1.2]], np.float32),
+                np.stack(
+                    [g.uniform(-1, 1, n - 1), g.uniform(-1, 1, n - 1),
+                     g.uniform(3, 6, n - 1)], -1
+                ).astype(np.float32),
+            ]
+        )
+        scales = np.full((n, 3), 0.02, np.float32)
+        scales[0] = 0.5  # large on screen
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        opac = np.full((n,), 0.8, np.float32)
+        colors = g.uniform(0, 1, (n, 3)).astype(np.float32)
+        st = make_settings(h=64, w=64)
+        args = tuple(jnp.asarray(x) for x in (means, scales, quats, opac, colors))
+
+        ref = rasterize_gaussians(
+            args[0], args[3], st, scales=args[1], quaternions=args[2],
+            colors=args[4], mode="reference",
+        )["image"]
+        # dup_capacity // n == 2 < tiles touched by the big splat; the
+        # floor(16) keeps parity with the reference render.
+        out = rasterize_gaussians(
+            args[0], args[3], st, scales=args[1], quaternions=args[2],
+            colors=args[4], mode="pallas", dup_capacity=2 * n, k_max=256,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["image"]), np.asarray(ref), atol=2e-5
+        )
