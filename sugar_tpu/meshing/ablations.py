@@ -42,23 +42,21 @@ def extract_mesh_from_gaussian_centers(
     poisson_resolution: int = 192,
     decimation_target: int = 200_000,
     density_quantile: float = 0.1,
+    neighborhood_size: int = 32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Poisson over the Gaussian centers with smallest-axis normals."""
+    """Poisson over the Gaussian centers with PCA-estimated normals
+    (get_normals(estimate_from_points=True), sugar_model.py:956-961)."""
+    from sugar_tpu.fields.normals import estimate_pointcloud_normals
+
     alive = np.asarray(model.alive)
     centers = np.asarray(model.params.xyz)[alive]
     normals = np.asarray(
-        df.smallest_axes(model.scales, model.quaternions)
-    )[alive]
-    # Orient normals toward the nearest camera (reference flips with
-    # estimate_pointcloud_normals disambiguation; camera-facing is the
-    # equivalent cue here).
-    cam_centers = np.stack([np.asarray(c.cam_center) for c in cameras])
-    from scipy.spatial import cKDTree
-
-    nearest_cam = cam_centers[cKDTree(cam_centers).query(centers)[1]]
-    to_cam = nearest_cam - centers
-    sign = np.sign(np.sum(normals * to_cam, axis=-1, keepdims=True))
-    normals = normals * np.where(sign == 0, 1.0, sign)
+        estimate_pointcloud_normals(
+            jnp.asarray(centers),
+            neighborhood_size=min(neighborhood_size, max(len(centers), 1)),
+            disambiguate_directions=True,
+        )
+    )
 
     centers, (normals,) = meshops.remove_statistical_outliers(centers, [normals])
     res = poisson_reconstruct(centers, normals, resolution=poisson_resolution)

@@ -65,9 +65,15 @@ def extract_mesh_from_coarse_model(
     cfg: ExtractConfig = ExtractConfig(),
     output_path: str | None = None,
     rng: np.random.Generator | None = None,
+    device_mesh=None,
+    mesh_axis: str = "data",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Run the full extraction; returns (vertices, faces) and optionally
-    writes the PLY."""
+    writes the PLY.
+
+    With ``device_mesh`` (a jax.sharding.Mesh), the per-camera level-set
+    collection runs data-parallel over ``mesh_axis`` (parallel.meshing);
+    the collected cloud is identical to the single-device path."""
     rng = rng or np.random.default_rng(0)
     model = prune_low_opacity(model, cfg.prune_opacity_threshold)
 
@@ -75,9 +81,7 @@ def extract_mesh_from_coarse_model(
     # them; DC-only evaluation is equivalent for deg 0).
     colors = np.asarray(sh_lib.sh0_to_rgb(np.asarray(model.params.sh_dc)))
 
-    cloud = collect_surface_points(
-        model,
-        cameras,
+    collect_kwargs = dict(
         surface_level=cfg.surface_level,
         total_points=cfg.total_points,
         rng=rng,
@@ -85,6 +89,14 @@ def extract_mesh_from_coarse_model(
         k_max=cfg.k_max,
         colors_per_gaussian=colors,
     )
+    if device_mesh is not None:
+        from sugar_tpu.parallel.meshing import collect_surface_points_sharded
+
+        cloud = collect_surface_points_sharded(
+            device_mesh, mesh_axis, model, cameras, **collect_kwargs
+        )
+    else:
+        cloud = collect_surface_points(model, cameras, **collect_kwargs)
     pts, normals = cloud["points"], cloud["normals"]
     centers = np.stack([np.asarray(c.cam_center) for c in cameras])
 

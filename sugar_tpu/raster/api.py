@@ -72,11 +72,10 @@ def rasterize_gaussians(
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered
     elif mode == "pallas":
-        # Top-of-function import would be circular-free too, but keep it
-        # lazy for CPU-only users; safe now that the module has no
-        # trace-hostile import-time jnp ops.
-        from sugar_tpu.raster.binning import bin_gaussians_dense
-        from sugar_tpu.raster.pallas_render import render_pallas
+        # Production path: fused payload-carrying binning sort with
+        # exact-support tile culling (raster/fused.py), then the Pallas
+        # compositing kernel. Lazy import for CPU-only users.
+        from sugar_tpu.raster.fused import render_fused
 
         if dup_capacity is None:
             dup_capacity = 8 * means3d.shape[0]
@@ -87,6 +86,21 @@ def rasterize_gaussians(
             # when dup_capacity/N is small (overflow is still counted in
             # bin_overflow; callers wanting a tighter clip pass tile_cap
             # explicitly).
+            tile_cap = max(16, dup_capacity // means3d.shape[0])
+        out = render_fused(
+            prep, settings, tile_cap=tile_cap, capacity=dup_capacity,
+            max_per_tile=k_max,
+        )
+    elif mode == "pallas_twopass":
+        # Previous two-pass layout (dense binning + gather_dup); kept for
+        # cross-checks and as the basis of the sharded path's per-band
+        # compositing (parallel/render.py).
+        from sugar_tpu.raster.binning import bin_gaussians_dense
+        from sugar_tpu.raster.pallas_render import render_pallas
+
+        if dup_capacity is None:
+            dup_capacity = 8 * means3d.shape[0]
+        if tile_cap is None:
             tile_cap = max(16, dup_capacity // means3d.shape[0])
         binning = bin_gaussians_dense(prep, settings, tile_cap, capacity=dup_capacity)
         out = render_pallas(

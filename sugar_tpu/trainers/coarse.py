@@ -97,6 +97,157 @@ def _entropy(op: jnp.ndarray) -> jnp.ndarray:
     return -op * jnp.log(op + 1e-10) - (1 - op) * jnp.log(1 - op + 1e-10)
 
 
+def coarse_loss(
+    cfg: CoarseConfig,
+    p: GaussianParams,
+    alive: jnp.ndarray,
+    knn_idx: jnp.ndarray,  # (capacity, K) neighbor table
+    camera: Camera,
+    gt: jnp.ndarray,
+    rng: jax.Array,
+    spatial_extent: float,
+    dup_capacity: int,
+    with_entropy: bool,
+    with_sdf: bool,
+):
+    """One view's coarse-stage loss (RGB + entropy + SDF/density + normal
+    terms). Shared by the single-chip step below and the multi-chip
+    parallel.coarse step (pure jnp — GSPMD shards it with the same
+    semantics)."""
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+    out = render_params(
+        p, alive, camera, cfg.sh_degree, bg,
+        dup_capacity=dup_capacity, k_max=cfg.k_max,
+    )
+    img = jnp.clip(out["image"], 0.0, 1.0)
+    loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + (
+        cfg.dssim_factor
+    ) * (1.0 - losses.ssim(img, gt))
+    visible = out["radii"] > 0
+
+    opacities = jax.nn.sigmoid(p.opacity_logit)
+    scales = jnp.exp(p.log_scales)
+    quats = quat_normalize(p.quaternions)
+
+    if with_entropy:
+        vis_f = visible.astype(jnp.float32)
+        ent = jnp.sum(_entropy(opacities) * vis_f) / jnp.maximum(
+            jnp.sum(vis_f), 1.0
+        )
+        loss = loss + cfg.entropy_factor * ent
+
+    if with_sdf:
+        gp = df.GaussianFieldParams(
+            centers=p.xyz, scales=scales, quaternions=quats, opacities=opacities
+        )
+        # Depth map via the rasterizer (view-z as color, bg = max z;
+        # coarse_sdf.py:578-604). Gradients flow through it.
+        zs = p.xyz @ camera.world_view[2, :3] + camera.world_view[2, 3]
+        max_depth = jnp.max(jnp.where(alive, zs, 0.0))
+        depth_img = _render_depth(
+            p, alive, camera, zs, max_depth, dup_capacity, cfg.k_max
+        )
+
+        sampling_mask = visible
+        if cfg.sample_only_close_to_surface:
+            # coarse_sdf.py:608-623, all under stop_gradient.
+            cam_dir = camera.cam_center[None, :] - p.xyz
+            cam_dir = cam_dir / jnp.maximum(
+                jnp.linalg.norm(cam_dir, axis=-1, keepdims=True), 1e-12
+            )
+            local_dir = quaternion_apply(quaternion_invert(quats), cam_dir)
+            g_std = jnp.linalg.norm(scales * local_dir, axis=-1)
+            pix = _project_to_pixels(p.xyz, camera)
+            map_z = df.depth_lookup_bilinear(depth_img, pix)
+            close = jnp.abs(map_z - zs) < cfg.close_gaussian_threshold * g_std
+            sampling_mask = sampling_mask & jax.lax.stop_gradient(close)
+
+        samples, src_idx = df.sample_points_in_gaussians(
+            rng,
+            cfg.n_samples_for_sdf_regularization,
+            gp,
+            alive & sampling_mask,
+            sampling_scale_factor=cfg.sdf_sampling_scale_factor,
+            prob_proportional_to_volume=False,
+        )
+        any_sampled = jnp.sum((alive & sampling_mask).astype(jnp.int32)) > 0
+
+        neighbor_idx = knn_idx[src_idx]  # (S, K)
+        fields = df.field_values(
+            samples,
+            neighbor_idx,
+            gp,
+            density_factor=cfg.density_factor,
+            return_sdf=cfg.mode == "sdf",
+            beta_mode=cfg.beta_mode,
+            chunk=min(65536, cfg.n_samples_for_sdf_regularization),
+        )
+
+        normals = df.smallest_axes(scales, quats)  # (N, 3)
+
+        if cfg.mode == "sdf":
+            # depth-based estimation (coarse_sdf.py:644-679)
+            s_z = samples @ camera.world_view[2, :3] + camera.world_view[2, 3]
+            proj_ok = s_z > 0.01  # znear
+            s_pix = _project_to_pixels(samples, camera)
+            s_map_z = df.depth_lookup_bilinear(depth_img, s_pix)
+            sdf_est = s_map_z - s_z
+            std = spatial_extent / 10.0
+            err = jnp.abs(fields["sdf"] - jnp.abs(sdf_est)) / std
+            err = jnp.minimum(err, 10.0 * spatial_extent)
+            w = proj_ok.astype(jnp.float32)
+            sdf_loss = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
+        else:
+            # projection-based density estimation
+            # (coarse_density.py:653-662)
+            n_src = normals[src_idx]
+            d_proj = jnp.sum((samples - p.xyz[src_idx]) * n_src, axis=-1)
+            target = jnp.exp(
+                -0.5 * d_proj**2 / jnp.maximum(fields["beta"] ** 2, 1e-12)
+            )
+            sdf_loss = jnp.mean(jnp.abs(fields["density"] - target))
+        loss = loss + jnp.where(
+            any_sampled, cfg.sdf_estimation_factor * sdf_loss, 0.0
+        )
+
+        # better-normal loss (coarse_sdf.py:688-716)
+        cg_idx = neighbor_idx
+        cg_min_scale = jax.lax.stop_gradient(
+            jnp.min(scales, axis=-1)[cg_idx]
+        )
+        cg_normals = normals[cg_idx]  # (S, K, 3)
+        s_normals = normals[src_idx]  # (S, 3)
+        sign = jax.lax.stop_gradient(
+            jnp.sign(jnp.sum(cg_normals * s_normals[:, None], axis=-1, keepdims=True))
+        )
+        cg_normals = cg_normals * sign
+        cg_op = jax.lax.stop_gradient(
+            _neighbor_opacities(samples, cg_idx, gp, cfg.density_factor)
+        )
+        nw = jnp.abs(
+            jnp.sum((samples[:, None] - p.xyz[cg_idx]) * cg_normals, axis=-1)
+        )
+        nw = jax.lax.stop_gradient(nw)  # gradient through normals only
+        nw = cg_op * nw / jnp.maximum(cg_min_scale, 1e-6) ** 2
+        nw_sum = jax.lax.stop_gradient(jnp.sum(nw, axis=-1))
+        nw = nw / jnp.maximum(nw_sum, 1e-6)[:, None]
+        bn = jnp.sum(
+            (s_normals - jnp.sum(nw[..., None] * cg_normals, axis=-2)) ** 2,
+            axis=-1,
+        )
+        loss = loss + jnp.where(
+            any_sampled, cfg.sdf_better_normal_factor * jnp.mean(bn), 0.0
+        )
+    aux = dict(
+        loss=loss,
+        psnr=losses.psnr(img, gt),
+        n_visible=jnp.sum(visible.astype(jnp.int32)),
+        bin_overflow=out["bin_overflow"],
+        tile_overflow=out["tile_overflow"],
+    )
+    return loss, aux
+
+
 def make_coarse_step(
     cfg: CoarseConfig,
     lrs: dict[str, Callable],
@@ -121,141 +272,11 @@ def make_coarse_step(
         it: jnp.ndarray,
         rng: jax.Array,
     ):
-        bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
-
         def loss_fn(p: GaussianParams):
-            out = render_params(
-                p, alive, camera, cfg.sh_degree, bg,
-                dup_capacity=dup_capacity, k_max=cfg.k_max,
+            return coarse_loss(
+                cfg, p, alive, knn_idx, camera, gt, rng, spatial_extent,
+                dup_capacity, with_entropy, with_sdf,
             )
-            img = jnp.clip(out["image"], 0.0, 1.0)
-            loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + (
-                cfg.dssim_factor
-            ) * (1.0 - losses.ssim(img, gt))
-            visible = out["radii"] > 0
-
-            opacities = jax.nn.sigmoid(p.opacity_logit)
-            scales = jnp.exp(p.log_scales)
-            quats = quat_normalize(p.quaternions)
-
-            if with_entropy:
-                vis_f = visible.astype(jnp.float32)
-                ent = jnp.sum(_entropy(opacities) * vis_f) / jnp.maximum(
-                    jnp.sum(vis_f), 1.0
-                )
-                loss = loss + cfg.entropy_factor * ent
-
-            if with_sdf:
-                gp = df.GaussianFieldParams(
-                    centers=p.xyz, scales=scales, quaternions=quats, opacities=opacities
-                )
-                # Depth map via the rasterizer (view-z as color, bg = max z;
-                # coarse_sdf.py:578-604). Gradients flow through it.
-                zs = p.xyz @ camera.world_view[2, :3] + camera.world_view[2, 3]
-                max_depth = jnp.max(jnp.where(alive, zs, 0.0))
-                depth_img = _render_depth(
-                    p, alive, camera, zs, max_depth, dup_capacity, cfg.k_max
-                )
-
-                sampling_mask = visible
-                if cfg.sample_only_close_to_surface:
-                    # coarse_sdf.py:608-623, all under stop_gradient.
-                    cam_dir = camera.cam_center[None, :] - p.xyz
-                    cam_dir = cam_dir / jnp.maximum(
-                        jnp.linalg.norm(cam_dir, axis=-1, keepdims=True), 1e-12
-                    )
-                    local_dir = quaternion_apply(quaternion_invert(quats), cam_dir)
-                    g_std = jnp.linalg.norm(scales * local_dir, axis=-1)
-                    pix = _project_to_pixels(p.xyz, camera)
-                    map_z = df.depth_lookup_bilinear(depth_img, pix)
-                    close = jnp.abs(map_z - zs) < cfg.close_gaussian_threshold * g_std
-                    sampling_mask = sampling_mask & jax.lax.stop_gradient(close)
-
-                samples, src_idx = df.sample_points_in_gaussians(
-                    rng,
-                    cfg.n_samples_for_sdf_regularization,
-                    gp,
-                    alive & sampling_mask,
-                    sampling_scale_factor=cfg.sdf_sampling_scale_factor,
-                    prob_proportional_to_volume=False,
-                )
-                any_sampled = jnp.sum((alive & sampling_mask).astype(jnp.int32)) > 0
-
-                neighbor_idx = knn_idx[src_idx]  # (S, K)
-                fields = df.field_values(
-                    samples,
-                    neighbor_idx,
-                    gp,
-                    density_factor=cfg.density_factor,
-                    return_sdf=cfg.mode == "sdf",
-                    beta_mode=cfg.beta_mode,
-                    chunk=min(65536, cfg.n_samples_for_sdf_regularization),
-                )
-
-                normals = df.smallest_axes(scales, quats)  # (N, 3)
-
-                if cfg.mode == "sdf":
-                    # depth-based estimation (coarse_sdf.py:644-679)
-                    s_z = samples @ camera.world_view[2, :3] + camera.world_view[2, 3]
-                    proj_ok = s_z > 0.01  # znear
-                    s_pix = _project_to_pixels(samples, camera)
-                    s_map_z = df.depth_lookup_bilinear(depth_img, s_pix)
-                    sdf_est = s_map_z - s_z
-                    std = spatial_extent / 10.0
-                    err = jnp.abs(fields["sdf"] - jnp.abs(sdf_est)) / std
-                    err = jnp.minimum(err, 10.0 * spatial_extent)
-                    w = proj_ok.astype(jnp.float32)
-                    sdf_loss = jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
-                else:
-                    # projection-based density estimation
-                    # (coarse_density.py:653-662)
-                    n_src = normals[src_idx]
-                    d_proj = jnp.sum((samples - p.xyz[src_idx]) * n_src, axis=-1)
-                    target = jnp.exp(
-                        -0.5 * d_proj**2 / jnp.maximum(fields["beta"] ** 2, 1e-12)
-                    )
-                    sdf_loss = jnp.mean(jnp.abs(fields["density"] - target))
-                loss = loss + jnp.where(
-                    any_sampled, cfg.sdf_estimation_factor * sdf_loss, 0.0
-                )
-
-                # better-normal loss (coarse_sdf.py:688-716)
-                cg_idx = neighbor_idx
-                cg_min_scale = jax.lax.stop_gradient(
-                    jnp.min(scales, axis=-1)[cg_idx]
-                )
-                cg_normals = normals[cg_idx]  # (S, K, 3)
-                s_normals = normals[src_idx]  # (S, 3)
-                sign = jax.lax.stop_gradient(
-                    jnp.sign(jnp.sum(cg_normals * s_normals[:, None], axis=-1, keepdims=True))
-                )
-                cg_normals = cg_normals * sign
-                cg_op = jax.lax.stop_gradient(
-                    _neighbor_opacities(samples, cg_idx, gp, cfg.density_factor)
-                )
-                nw = jnp.abs(
-                    jnp.sum((samples[:, None] - p.xyz[cg_idx]) * cg_normals, axis=-1)
-                )
-                nw = jax.lax.stop_gradient(nw)  # gradient through normals only
-                nw = cg_op * nw / jnp.maximum(cg_min_scale, 1e-6) ** 2
-                nw_sum = jax.lax.stop_gradient(jnp.sum(nw, axis=-1))
-                nw = nw / jnp.maximum(nw_sum, 1e-6)[:, None]
-                bn = jnp.sum(
-                    (s_normals - jnp.sum(nw[..., None] * cg_normals, axis=-2)) ** 2,
-                    axis=-1,
-                )
-                loss = loss + jnp.where(
-                    any_sampled, cfg.sdf_better_normal_factor * jnp.mean(bn), 0.0
-                )
-
-            aux = dict(
-                loss=loss,
-                psnr=losses.psnr(img, gt),
-                n_visible=jnp.sum(visible.astype(jnp.int32)),
-                bin_overflow=out["bin_overflow"],
-                tile_overflow=out["tile_overflow"],
-            )
-            return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         new_params, new_adam = opt.adam_step(params, grads, adam, it, lrs, cfg.optim)

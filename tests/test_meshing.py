@@ -142,3 +142,38 @@ class TestMeshOps:
         )
         align = np.abs(np.sum(vn * r, axis=-1))
         assert np.median(align) > 0.95
+
+
+class TestPCANormals:
+    def test_sphere_normals_radial(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.fields.normals import estimate_pointcloud_normals
+
+        pts, true_nrm = sphere_points(n=4000)
+        est = np.asarray(
+            estimate_pointcloud_normals(jnp.asarray(pts), neighborhood_size=32)
+        )
+        # PCA normals match the radial direction up to sign; the majority
+        # disambiguation resolves signs only locally-consistently.
+        cos = np.abs(np.sum(est * true_nrm, axis=-1))
+        assert np.median(cos) > 0.99
+        assert (cos > 0.9).mean() > 0.95
+
+    def test_centers_ablation_end_to_end(self):
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.meshing.ablations import extract_mesh_from_gaussian_centers
+        from sugar_tpu.models.gaussians import create_from_pcd
+
+        pts, _ = sphere_points(n=3000)
+        g = np.random.default_rng(0)
+        cols = g.uniform(0.2, 1, (len(pts), 3)).astype(np.float32)
+        model = create_from_pcd(pts.astype(np.float32), cols, 4096,
+                                sh_degree=0, initial_opacity=0.9)
+        cams = [make_camera(R=np.eye(3), T=np.zeros(3), fov_x=1.0, fov_y=1.0,
+                            height=16, width=16)]
+        v, f = extract_mesh_from_gaussian_centers(
+            model, cams, poisson_resolution=64, decimation_target=5000)
+        assert len(v) > 100 and len(f) > 100
+        r = np.linalg.norm(v, axis=1)
+        assert abs(np.median(r) - 1.0) < 0.1

@@ -278,3 +278,163 @@ class TestShardedTileRender:
                 k_max=256,
             )["image"]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestShardedKNN:
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.fields.knn import knn
+        from sugar_tpu.parallel.knn import knn_sharded
+
+        g = np.random.default_rng(5)
+        q = jnp.asarray(g.normal(size=(64, 3)).astype(np.float32))
+        r = jnp.asarray(g.normal(size=(96, 3)).astype(np.float32))
+        mask = jnp.asarray(g.uniform(size=96) > 0.2)
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("shard",))
+        d_ref, i_ref = knn(q, r, k=5, ref_mask=mask)
+        d_sh, i_sh = knn_sharded(mesh, "shard", q, r, k=5, ref_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(d_sh), np.asarray(d_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+    def test_self_knn_includes_self(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.parallel.knn import knn_sharded
+
+        g = np.random.default_rng(7)
+        pts = jnp.asarray(g.normal(size=(32, 3)).astype(np.float32))
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:4]), ("shard",))
+        d, i = knn_sharded(mesh, "shard", pts, pts, k=3)
+        np.testing.assert_array_equal(np.asarray(i[:, 0]), np.arange(32))
+        assert float(jnp.max(d[:, 0])) < 1e-10
+
+
+class TestShardedCoarse:
+    def _scene(self, capacity=64, n_cams=4, h=24, w=24):
+        import jax.numpy as jnp
+
+        from sugar_tpu.core.cameras import Cameras, make_camera
+        from sugar_tpu.models.gaussians import create_from_pcd
+
+        g = np.random.default_rng(11)
+        pts = g.normal(size=(48, 3)).astype(np.float32) * 0.4
+        cols = g.uniform(0.2, 1.0, (48, 3)).astype(np.float32)
+        model = create_from_pcd(pts, cols, capacity, sh_degree=1,
+                                initial_opacity=0.8)
+        cams = []
+        for i in range(n_cams):
+            th = 2 * np.pi * i / n_cams
+            fwd = -np.array([np.cos(th), 0.1, np.sin(th)])
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            Rwc = np.stack([right, np.cross(fwd, right), fwd], 0)
+            cams.append(make_camera(R=Rwc.T, T=-Rwc @ (-fwd * 3), fov_x=1.0,
+                                    fov_y=1.0, height=h, width=w))
+        gts = jnp.asarray(g.uniform(0, 1, (n_cams, h, w, 3)).astype(np.float32))
+        return model, Cameras.stack(cams), gts
+
+    def test_matches_single_device(self):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from sugar_tpu.fields.knn import knn
+        from sugar_tpu.parallel.coarse import make_sharded_coarse_step
+        from sugar_tpu.parallel.mesh import make_mesh, shard_params
+        from sugar_tpu.trainers import optimizer as opt
+        from sugar_tpu.trainers.coarse import CoarseConfig
+        from sugar_tpu.trainers.schedule import iteration_key
+
+        model, cams, gts = self._scene()
+        cfg = CoarseConfig(
+            mode="sdf", n_samples_for_sdf_regularization=2048,
+            knn_to_track=8, k_max=256, sh_degree=1,
+        )
+        lrs = opt.group_lrs(cfg.optim, spatial_lr_scale=1.5)
+        _, knn_idx = knn(model.params.xyz, model.params.xyz, k=8,
+                         ref_mask=model.alive)
+        rngs = jnp.stack([
+            jax.random.key_data(iteration_key(0, i)) for i in range(4)
+        ])
+        it = jnp.asarray(7_001, jnp.int32)
+
+        def run(mesh):
+            step = make_sharded_coarse_step(
+                mesh, cfg, lrs, extent=1.5, dup_capacity=2048,
+                with_entropy=True, with_sdf=True,
+            )
+            params = shard_params(jax.tree.map(jnp.copy, model.params), mesh)
+            adam = opt.init_adam(model.params)
+            adam = dataclasses.replace(
+                shard_params(dataclasses.replace(adam, count=None), mesh),
+                count=adam.count,
+            )
+            alive = jax.device_put(
+                model.alive,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("gauss")),
+            )
+            ki = jax.device_put(
+                knn_idx,
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("gauss")),
+            )
+            cams_s = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec("data"))),
+                cams,
+            )
+            gts_s = jax.device_put(
+                gts, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")))
+            new_params, _, aux = step(params, alive, adam, ki, cams_s, gts_s,
+                                      it, rngs)
+            return jax.tree.map(np.asarray, new_params), float(aux["loss"])
+
+        p1, l1 = run(make_mesh(n_data=1, n_gauss=1, devices=jax.devices()[:1]))
+        p8, l8 = run(make_mesh(n_data=4, n_gauss=2, devices=jax.devices()[:8]))
+        assert np.isfinite(l1) and abs(l1 - l8) < 1e-4 * max(1.0, abs(l1))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+class TestShardedMeshing:
+    def test_cloud_identical_1_vs_8_devices(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.core.cameras import make_camera
+        from sugar_tpu.meshing.levelset import collect_surface_points
+        from sugar_tpu.models.gaussians import create_from_pcd
+        from sugar_tpu.parallel.meshing import collect_surface_points_sharded
+
+        g = np.random.default_rng(3)
+        # Surface-ish blob: points on a sphere shell
+        u = g.normal(size=(96, 3)); u /= np.linalg.norm(u, axis=1, keepdims=True)
+        pts = (u * 0.8).astype(np.float32)
+        cols = g.uniform(0.2, 1, (96, 3)).astype(np.float32)
+        model = create_from_pcd(pts, cols, 128, sh_degree=0, initial_opacity=0.95)
+        cams = []
+        for i in range(5):
+            th = 2 * np.pi * i / 5
+            fwd = -np.array([np.cos(th), 0.1, np.sin(th)])
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(up, fwd); right /= np.linalg.norm(right)
+            Rwc = np.stack([right, np.cross(fwd, right), fwd], 0)
+            cams.append(make_camera(R=Rwc.T, T=-Rwc @ (-fwd * 3), fov_x=1.0,
+                                    fov_y=1.0, height=24, width=24))
+        kw = dict(surface_level=0.3, total_points=2000, dup_capacity=4096,
+                  k_max=256)
+        ref = collect_surface_points(model, cams,
+                                     rng=np.random.default_rng(9), **kw)
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+        sh = collect_surface_points_sharded(mesh, "data", model, cams,
+                                            rng=np.random.default_rng(9), **kw)
+        assert len(ref["points"]) > 50
+        np.testing.assert_allclose(sh["points"], ref["points"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(sh["normals"], ref["normals"], rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(sh["gaussian_idx"], ref["gaussian_idx"])
