@@ -1,20 +1,19 @@
-"""Fused binning + data layout for the production Pallas render path.
+"""Fused binning for the production Pallas render path.
 
-Replaces the two-pass [bin_gaussians_dense -> gather_dup] pipeline with ONE
-payload-carrying sort, plus an exact-support tile culling pass. Motivated by
-measured v5e cost structure (scripts/microbench_sort.py, PERF.md):
+Replaces ``bin_gaussians_dense`` with a bucketed, exact-support-culled
+expansion whose [tile | depth-rank] sort carries only (key, gaussian id).
+Design is driven by measured v5e costs (PERF.md):
 
-- ``lax.sort`` payload count is nearly FREE (2.56M keys + 1 payload 8.9 ms,
-  + 10 payloads 9.4 ms), while gathers cost ~8 ns per *lookup* regardless of
-  row width (2.56M lookups = 21-27 ms). So instead of sorting (key, gid) and
-  then gathering the packed per-Gaussian render data into dup order (23 ms),
-  the sort carries all 6+CH packed rows as payloads directly.
-- The dense (N, tile_cap) expansion sorted 16M slots for ~2.1M real dups
-  (35.8 ms). Here the expansion is BUCKETED: every Gaussian owns a width-
-  ``cap_a`` row (covers 97%+ of real scenes' rects), and the few Gaussians
-  whose tile rect exceeds ``cap_a`` are compacted (via a 1M-key partition
-  sort, payloads again free) into ``big_cap`` rows of width
-  ``tile_cap - cap_a``. Expansion 16M -> ~4.8M at bench scale.
+- ``lax.sort`` costs scale with elements x CONSUMED operands (~0.8 ms per
+  operand-5.5M); column gathers cost ~9 ns per *lookup* independent of row
+  width. So the cheapest layout pipeline is: small-operand sort over a
+  small expansion, then ONE wide column gather (pallas_render.gather_dup)
+  of the packed render data into dup order.
+- The dense (N, tile_cap) expansion sorted 16M slots for ~2.1M real dups.
+  Here the expansion is BUCKETED: every Gaussian owns a width-``cap_a``
+  row (covers 97%+ of real scenes' rects) and the few Gaussians whose rect
+  exceeds ``cap_a`` are compacted into ``big_cap`` extra rows of width
+  ``tile_cap - cap_a`` — 16M slots become ~4.8M at bench scale.
 - Exact-support culling: a tile in a Gaussian's bounding rect whose pixels
   ALL have alpha < ALPHA_CUTOFF can never contribute to the forward image
   nor receive/emit gradients (the compositing kernel's ``keep`` gate zeroes
@@ -22,30 +21,29 @@ measured v5e cost structure (scripts/microbench_sort.py, PERF.md):
   forward.cu:254). The continuous box-minimum of the conic quadratic
   q(d) = 0.5 a dx^2 + b dx dy + 0.5 c dy^2 lower-bounds the discrete pixel
   minimum, so culling tiles with min_box q > ln(opacity/cutoff) is EXACTLY
-  output- and gradient-preserving while dropping ~23% of dup slots (and the
-  kernel work, capacity, and backward-reduction work they would cost). This
+  output- and gradient-preserving while dropping ~23% of dup slots (and
+  the kernel, gather, and gradient-reduction work they would cost). This
   is strictly tighter than the CUDA rect (auxiliary.h:46-56) at equal
   semantics.
+- All (slots, N) expansion math runs with the slot axis LEADING: per-
+  Gaussian vectors broadcast along sublanes and flatten as contiguous
+  copies; the (N, slots) orientation costs a lane-interleave relayout
+  (profiled 19 ms vs ~1 ms at bench scale).
 
-The backward (custom VJP) reduces per-dup-slot cotangents onto Gaussians
-with the same payload trick: sort cotangent ROWS as payloads keyed by
-gaussian id (replacing the sort + (9, D) column gather of
-pallas_render.gather_dup), then the log2(tile_cap)-step segmented
-shift-and-add scan and one start-position gather, as before. Ordering
-semantics are identical to the CUDA [tileID | depth] radix sort
-(rasterizer_impl.cu:70-138): slots emit depth-rank-major, ties in depth
-resolve to Gaussian index order.
+Ordering semantics are identical to the CUDA [tileID | depth] radix sort
+(rasterizer_impl.cu:70-138): slots sort by depth rank within a tile, and
+equal-depth ties resolve to Gaussian index order (the depth pre-sort is
+stable on index).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
 from sugar_tpu.raster.pallas_composite import C_CHUNK, tile_composite
+from sugar_tpu.raster.pallas_render import gather_dup, pack_params
 from sugar_tpu.raster.preprocess import Preprocessed
 
 # Safety margin on the support test: the continuous box minimum is computed
@@ -87,9 +85,8 @@ def _box_qmin(lx, hx, ly, hy, a, b, c):
 def _slot_tiles(rmin_x, rmin_y, rect_w, j):
     """Row-major tile coordinates of slot j inside a Gaussian's rect.
 
-    ``j`` is (..., M) int32; rect params broadcast from (..., 1). Uses the
-    f32-divide trick for j // w (int32 div lowers poorly on the VPU; exact
-    for j < 2^24)."""
+    Uses the f32-divide trick for j // w (int32 div lowers poorly on the
+    VPU; exact for j < 2^24)."""
     ty_off = jnp.floor(j.astype(jnp.float32) / rect_w.astype(jnp.float32)).astype(
         jnp.int32
     )
@@ -97,7 +94,7 @@ def _slot_tiles(rmin_x, rmin_y, rect_w, j):
     return rmin_x + tx_off, rmin_y + ty_off
 
 
-def _slot_valid(tx, ty, j, counts, mx, my, ca, cb, cc, qmax, tiles_x):
+def _slot_valid(tx, ty, j, counts, mx, my, ca, cb, cc, qmax):
     """Validity of expansion slots: inside the (capped) rect AND the tile's
     pixel box intersects the alpha >= cutoff support ellipse."""
     in_rect = j < counts
@@ -115,14 +112,8 @@ def _slot_valid(tx, ty, j, counts, mx, my, ca, cb, cc, qmax, tiles_x):
     return in_rect & (qmin <= qmax + _Q_EPS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def dup_sort(
-    packed: jnp.ndarray,  # (6+CH, N) differentiable render data
-    depth: jnp.ndarray,  # (N,) view z (stop-gradded key input)
-    rect_min: jnp.ndarray,  # (N, 2) int32
-    rect_max: jnp.ndarray,  # (N, 2) int32
-    tiles_touched: jnp.ndarray,  # (N,) int32
-    key_packed: jnp.ndarray,  # (6+CH, N) stop_gradient(packed) for key math
+def bin_fused(
+    prep: Preprocessed,
     num_tiles: int,
     tiles_x: int,
     tile_cap: int,
@@ -130,141 +121,124 @@ def dup_sort(
     big_cap: int,
     capacity: int,
 ):
-    """Emit the packed dup array in [tile | depth]-sorted order.
+    """Bucketed, support-culled binning. All inputs are treated as
+    non-differentiable (the support/order decisions carry no gradient,
+    like CUDA's rect) — callers pass stop_gradient'ed prep fields.
 
-    Returns (dup_data (rows8, D_pad), gid (D_pad,), tile_start (T,),
-    tile_count (T,), counts_culled (N,), num_rendered (), overflow (),
-    big_overflow ()). Differentiable in ``packed`` only; the support/order
-    decisions (like CUDA's rect and sort) carry no gradient.
-    """
-    out, _ = _dup_sort_fwd(
-        packed, depth, rect_min, rect_max, tiles_touched, key_packed,
-        num_tiles, tiles_x, tile_cap, cap_a, big_cap, capacity,
-    )
-    return out
-
-
-def _dup_sort_impl(
-    packed, depth, rect_min, rect_max, tiles_touched, key_packed,
-    num_tiles, tiles_x, tile_cap, cap_a, big_cap, capacity,
-):
-    rows, n = packed.shape
+    Returns dict(gid (D_pad,), tile_start (T,), tile_count (T,),
+    counts_culled (N,), num_rendered (), overflow (), inexact ()) where
+    D_pad is the chunk-aligned capacity and ``gid`` holds the sentinel n
+    for invalid/padding slots. ``inexact`` counts dup slots dropped by
+    big_cap/capacity truncation (nonzero => counts-derived gradient
+    segment offsets would be wrong; the gather_dup backward then returns
+    zeros and the auto-grow protocol re-renders)."""
+    n = prep.tiles_touched.shape[0]
     cap_a = min(cap_a, tile_cap)
     big_cap = min(big_cap, n)
     cap_b = tile_cap - cap_a
 
-    mx, my = key_packed[0], key_packed[1]
-    ca, cb, cc = key_packed[2], key_packed[3], key_packed[4]
-    opac = key_packed[5]
-    qmax = jnp.log(jnp.maximum(opac, 1e-30) / rc.ALPHA_CUTOFF)
-    counts = jnp.minimum(tiles_touched, tile_cap).astype(jnp.int32)
-    rmin_x, rmin_y = rect_min[:, 0], rect_min[:, 1]
-    rect_w = jnp.maximum(rect_max[:, 0] - rmin_x, 1)
-
-    # LAYOUT NOTE: all (slots-per-gaussian, N) expansion math runs with the
-    # slot axis LEADING — per-Gaussian vectors broadcast along sublanes and
-    # each row flattens as a contiguous copy. The (N, cap) orientation costs
-    # a lane-interleave relayout per array (profiled 19 ms vs ~1 ms at bench
-    # scale). Flat emission order is (slot j, gaussian) — irrelevant, the
-    # sort key carries [tile | rank].
+    mean2d = prep.mean2d
+    conic = prep.conic
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    qmax = jnp.log(jnp.maximum(prep.opacity, 1e-30) / rc.ALPHA_CUTOFF)
+    counts = jnp.minimum(prep.tiles_touched, tile_cap).astype(jnp.int32)
+    rmin_x, rmin_y = prep.rect_min[:, 0], prep.rect_min[:, 1]
+    rect_w = jnp.maximum(prep.rect_max[:, 0] - rmin_x, 1)
 
     # --- exact-support validity over the FULL capped rect, original order:
-    # gives per-Gaussian culled counts (the backward's exact segment sizes)
-    # before any permutation. Pure elementwise (tile_cap, N) math.
+    # per-Gaussian culled counts = the backward's exact segment sizes.
     j_full = jnp.arange(tile_cap, dtype=jnp.int32)[:, None]
     txf, tyf = _slot_tiles(rmin_x[None, :], rmin_y[None, :], rect_w[None, :], j_full)
     valid_full = _slot_valid(
         txf, tyf, j_full, counts[None, :], mx[None, :], my[None, :],
-        ca[None, :], cb[None, :], cc[None, :], qmax[None, :], tiles_x,
+        ca[None, :], cb[None, :], cc[None, :], qmax[None, :],
     )
     counts_culled = jnp.sum(valid_full, axis=0, dtype=jnp.int32)
     num_rendered = jnp.sum(counts_culled)
 
     # --- depth rank per Gaussian (original order): two N-key sorts.
-    # rank = position in the stable depth sort, so equal-depth ties resolve
-    # to Gaussian index order exactly as CUDA's stable radix sort does.
     iota = jnp.arange(n, dtype=jnp.int32)
-    _, gsort = jax.lax.sort((depth, iota), dimension=0, num_keys=1, is_stable=True)
-    _, rank = jax.lax.sort((gsort, iota), dimension=0, num_keys=1, is_stable=False)
+    _, gsort = jax.lax.sort((prep.depth, iota), dimension=0, num_keys=1,
+                            is_stable=True)
+    _, rank = jax.lax.sort((gsort, iota), dimension=0, num_keys=1,
+                           is_stable=False)
 
     # --- bucket A: every Gaussian owns cap_a slots (leading slot axis).
-    tile_a = jnp.where(valid_full[:cap_a], tyf[:cap_a] * tiles_x + txf[:cap_a],
-                       num_tiles)
+    tile_a = jnp.where(
+        valid_full[:cap_a], tyf[:cap_a] * tiles_x + txf[:cap_a], num_tiles
+    )
     gid_a = jnp.where(valid_full[:cap_a], iota[None, :], n)
     rank_a = jnp.broadcast_to(rank[None, :], (cap_a, n))
-    pl_a = [jnp.broadcast_to(packed[r][None, :], (cap_a, n)) for r in range(rows)]
 
     parts_tile = [tile_a.reshape(-1)]
     parts_rank = [rank_a.reshape(-1)]
     parts_gid = [gid_a.reshape(-1)]
-    parts_pl = [[p.reshape(-1)] for p in pl_a]
 
     big_overflow = jnp.zeros((), jnp.int32)
     if cap_b > 0 and big_cap > 0:
         # --- bucket B: Gaussians with rect > cap_a tiles, compacted into
-        # big_cap rows by a partition sort carrying all per-row data as
-        # payloads (payloads are ~free; a gather here would cost ~8 ns/row).
+        # big_cap rows: a 2-operand partition sort finds them, then ONE
+        # narrow column gather (big_cap lookups, ~free at big_cap << n)
+        # pulls their rect/conic rows.
         is_big = counts > cap_a
         bkey = jnp.where(is_big, 0, 1).astype(jnp.int32)
-        srt = jax.lax.sort(
-            (bkey, iota, rank, counts, rmin_x, rmin_y, rect_w, mx, my, ca, cb,
-             cc, qmax) + tuple(packed[r] for r in range(rows)),
-            dimension=0, num_keys=1, is_stable=True,
-        )
-        (_, b_iota, b_rank, b_counts, b_rx, b_ry, b_rw, b_mx, b_my, b_ca,
-         b_cb, b_cc, b_qmax) = (s[:big_cap] for s in srt[:13])
-        b_pl = [s[:big_cap] for s in srt[13:]]
+        _, big_iota = jax.lax.sort((bkey, iota), dimension=0, num_keys=1,
+                                   is_stable=True)
+        b_iota = big_iota[:big_cap]
+        brows = jnp.stack(
+            [rank.astype(jnp.float32), counts.astype(jnp.float32),
+             rmin_x.astype(jnp.float32), rmin_y.astype(jnp.float32),
+             rect_w.astype(jnp.float32), mx, my, ca, cb, cc, qmax]
+        )[:, b_iota]  # (11, big_cap)
+        b_rank = brows[0].astype(jnp.int32)
+        b_counts = brows[1].astype(jnp.int32)
+        b_rx = brows[2].astype(jnp.int32)
+        b_ry = brows[3].astype(jnp.int32)
+        b_rw = brows[4].astype(jnp.int32)
+        b_mx, b_my, b_ca, b_cb, b_cc, b_qmax = brows[5:11]
         # Rows beyond the real big count are small Gaussians (counts <=
         # cap_a): their j >= cap_a slots fail the in_rect test => invalid.
         j_b = cap_a + jnp.arange(cap_b, dtype=jnp.int32)[:, None]
         txb, tyb = _slot_tiles(b_rx[None, :], b_ry[None, :], b_rw[None, :], j_b)
         valid_b = _slot_valid(
             txb, tyb, j_b, b_counts[None, :], b_mx[None, :], b_my[None, :],
-            b_ca[None, :], b_cb[None, :], b_cc[None, :], b_qmax[None, :], tiles_x,
+            b_ca[None, :], b_cb[None, :], b_cc[None, :], b_qmax[None, :],
         )
-        tile_b = jnp.where(valid_b, tyb * tiles_x + txb, num_tiles)
-        gid_b = jnp.where(valid_b, b_iota[None, :], n)
-        rank_b = jnp.broadcast_to(b_rank[None, :], (cap_b, big_cap))
-        parts_tile.append(tile_b.reshape(-1))
-        parts_rank.append(rank_b.reshape(-1))
-        parts_gid.append(gid_b.reshape(-1))
-        for r in range(rows):
-            parts_pl[r].append(
-                jnp.broadcast_to(b_pl[r][None, :], (cap_b, big_cap)).reshape(-1)
-            )
+        parts_tile.append(
+            jnp.where(valid_b, tyb * tiles_x + txb, num_tiles).reshape(-1)
+        )
+        parts_rank.append(
+            jnp.broadcast_to(b_rank[None, :], (cap_b, big_cap)).reshape(-1)
+        )
+        parts_gid.append(jnp.where(valid_b, b_iota[None, :], n).reshape(-1))
         # Big Gaussians that did not fit in big_cap rows lose their j >=
         # cap_a slots: count them (their A slots remain, so counts_culled
         # no longer matches the emitted multiset -> grads inexact).
-        n_big = jnp.sum(is_big.astype(jnp.int32))
-        pos = jnp.arange(n, dtype=jnp.int32)
-        dropped = (pos >= big_cap) & (pos < n_big)
-        srt_counts_full = srt[3]
-        big_overflow = jnp.sum(
-            jnp.where(dropped, jnp.maximum(srt_counts_full - cap_a, 0), 0)
-        )
+        # Kept rows beyond the true big count are small Gaussians whose
+        # excess-over-cap_a is 0, so the difference needs no masking.
+        excess_all = jnp.sum(jnp.maximum(counts - cap_a, 0))
+        excess_kept = jnp.sum(jnp.maximum(b_counts - cap_a, 0))
+        big_overflow = excess_all - excess_kept
 
     tile_e = jnp.concatenate(parts_tile)
     rank_e = jnp.concatenate(parts_rank)
     gid_e = jnp.concatenate(parts_gid)
-    pl_e = [jnp.concatenate(p) for p in parts_pl]
 
-    # --- THE sort: [tile | depth-rank] fused into one unique int32 key when
-    # the bits fit (no stability cost), else two int keys (pairs are unique
-    # either way — rank is unique per Gaussian).
+    # --- THE sort: [tile | depth-rank] fused into one unique int32 key
+    # when the bits fit, else two int keys; (tile, rank) pairs are unique
+    # either way, so an unstable sort is exact.
     rank_bits = max(1, (n - 1).bit_length())
     if (num_tiles + 1) << rank_bits < 2**31:
         key_e = (tile_e << rank_bits) | rank_e
-        srt = jax.lax.sort(
-            (key_e, gid_e) + tuple(pl_e), dimension=0, num_keys=1, is_stable=False
+        sorted_key, gid_s = jax.lax.sort(
+            (key_e, gid_e), dimension=0, num_keys=1, is_stable=False
         )
-        sorted_tile_full = srt[0] >> rank_bits
+        sorted_tile = sorted_key >> rank_bits
     else:
-        srt = jax.lax.sort(
-            (tile_e, rank_e, gid_e) + tuple(pl_e),
-            dimension=0, num_keys=2, is_stable=False,
+        sorted_tile, _, gid_s = jax.lax.sort(
+            (tile_e, rank_e, gid_e), dimension=0, num_keys=2, is_stable=False
         )
-        sorted_tile_full = srt[0]
-        srt = (srt[0],) + srt[2:]
 
     # --- truncate to the chunk-aligned capacity (valid slots sort first).
     d_pad = ((capacity + C_CHUNK - 1) // C_CHUNK) * C_CHUNK + C_CHUNK
@@ -272,14 +246,12 @@ def _dup_sort_impl(
     if e_total < d_pad:
         pad = d_pad - e_total
         sorted_tile = jnp.concatenate(
-            [sorted_tile_full, jnp.full((pad,), num_tiles, jnp.int32)]
+            [sorted_tile, jnp.full((pad,), num_tiles, jnp.int32)]
         )
-        gid_s = jnp.concatenate([srt[1], jnp.full((pad,), n, jnp.int32)])
-        pl_s = [jnp.concatenate([p, jnp.zeros((pad,), p.dtype)]) for p in srt[2:]]
+        gid_s = jnp.concatenate([gid_s, jnp.full((pad,), n, jnp.int32)])
     else:
-        sorted_tile = sorted_tile_full[:d_pad]
-        gid_s = srt[1][:d_pad]
-        pl_s = [p[:d_pad] for p in srt[2:]]
+        sorted_tile = sorted_tile[:d_pad]
+        gid_s = gid_s[:d_pad]
 
     # --- per-tile ranges (tiny query side: binary-search lowering).
     bounds = jnp.searchsorted(
@@ -288,77 +260,17 @@ def _dup_sort_impl(
     tile_start = bounds[:num_tiles]
     tile_count = bounds[1:] - bounds[:num_tiles]
 
-    # --- kernel layout: stack payload rows, zero-pad sublanes to 8-aligned.
-    rows_pad = _round8(rows)
-    dup_data = jnp.concatenate(
-        [jnp.stack(pl_s), jnp.zeros((rows_pad - rows, d_pad), jnp.float32)], axis=0
-    )
-
-    rect_overflow = jnp.sum(jnp.maximum(tiles_touched - tile_cap, 0))
+    rect_overflow = jnp.sum(jnp.maximum(prep.tiles_touched - tile_cap, 0))
     cap_overflow = jnp.maximum(num_rendered - capacity, 0)
-    overflow = rect_overflow + big_overflow + cap_overflow
-    return (
-        dup_data, gid_s, tile_start, tile_count, counts_culled,
-        num_rendered, overflow, big_overflow + cap_overflow,
+    return dict(
+        gid=gid_s,
+        tile_start=tile_start,
+        tile_count=tile_count,
+        counts_culled=counts_culled,
+        num_rendered=num_rendered,
+        overflow=rect_overflow + big_overflow + cap_overflow,
+        inexact=big_overflow + cap_overflow,
     )
-
-
-def _dup_sort_fwd(
-    packed, depth, rect_min, rect_max, tiles_touched, key_packed,
-    num_tiles, tiles_x, tile_cap, cap_a, big_cap, capacity,
-):
-    out = _dup_sort_impl(
-        packed, depth, rect_min, rect_max, tiles_touched, key_packed,
-        num_tiles, tiles_x, tile_cap, cap_a, big_cap, capacity,
-    )
-    (dup_data, gid_s, tile_start, tile_count, counts_culled,
-     num_rendered, overflow, inexact) = out
-    # grads_exact: every live slot of every Gaussian is present exactly once
-    # in the emitted multiset (no big_cap/capacity truncation).
-    grads_exact = inexact == 0
-    res = (gid_s, counts_culled, grads_exact, packed.shape[0])
-    return out, res
-
-
-def _dup_sort_bwd(
-    num_tiles, tiles_x, tile_cap, cap_a, big_cap, capacity, res, cts
-):
-    """Segmented reduction of dup-slot cotangents onto Gaussians.
-
-    Sort the cotangent ROWS as payloads keyed by gaussian id (invalid and
-    padding slots carry the sentinel id n and sort last), run the
-    log2(tile_cap)-step shift-and-add suffix scan inside segments, then one
-    start-position gather. f32 throughout (each segment has <= tile_cap
-    terms)."""
-    gid_s, counts_culled, grads_exact, rows = res
-    ct = cts[0]  # only dup_data's cotangent is nonzero
-    rows_pad, d = ct.shape
-    n = counts_culled.shape[0]
-    # Only the live rows carry cotangents (the kernel zero-pads the rest).
-    srt = jax.lax.sort(
-        (gid_s,) + tuple(ct[r] for r in range(rows)),
-        dimension=0, num_keys=1, is_stable=False,
-    )
-    gid_sorted = srt[0]
-    y = jnp.stack(srt[1:])  # (rows, D)
-    sh = 1
-    while sh < tile_cap:
-        y_next = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
-        g_next = jnp.pad(gid_sorted[sh:], (0, sh), constant_values=-1)
-        y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
-        sh *= 2
-    starts = jnp.cumsum(counts_culled, dtype=jnp.int32) - counts_culled
-    ok = grads_exact & (counts_culled > 0)
-    d_packed = jnp.where(ok[None, :], y[:, jnp.minimum(starts, d - 1)], 0.0)
-    return (d_packed, None, None, None, None, None)
-
-
-dup_sort.defvjp(_dup_sort_fwd, _dup_sort_bwd)
-
-
-def pack_params(mean, conic, opac, color):
-    """(N,2),(N,3),(N,),(N,CH) -> packed (6+CH, N). Differentiable."""
-    return jnp.concatenate([mean.T, conic.T, opac[None, :], color.T], axis=0)
 
 
 def render_fused(
@@ -370,7 +282,8 @@ def render_fused(
     cap_a: int = 4,
     big_cap: int | None = None,
 ) -> dict:
-    """Production render: fused binning/layout sort + Pallas compositing.
+    """Production render: fused binning + gather_dup layout + Pallas
+    compositing.
 
     ``cap_a``/``big_cap`` size the bucketed expansion (see module
     docstring); ``big_cap`` defaults to n for small scenes (lossless) and
@@ -385,22 +298,30 @@ def render_fused(
         big_cap = n if n < 65536 else max(n // 8, 65536)
     max_chunks = max(1, (max_per_tile + C_CHUNK - 1) // C_CHUNK)
 
+    b = bin_fused(
+        jax.lax.stop_gradient(prep), num_tiles, tx_n, tile_cap, cap_a,
+        big_cap, capacity,
+    )
+    grads_exact = b["inexact"] == 0
+
+    # ONE wide column gather of the packed render data into dup order;
+    # rows are pre-padded to the Mosaic-aligned 8-multiple so the gather
+    # output is the kernel's dup_data directly (row width is free in the
+    # gather; a post-gather pad row copy is not).
     packed = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
-    (dup_data, _gid, tile_start, tile_count, _counts, num_rendered,
-     overflow, _inexact) = dup_sort(
-        packed,
-        jax.lax.stop_gradient(prep.depth),
-        prep.rect_min,
-        prep.rect_max,
-        prep.tiles_touched,
-        jax.lax.stop_gradient(packed),
-        num_tiles, tx_n, tile_cap, cap_a, big_cap, capacity,
+    rows_pad = _round8(6 + ch)
+    packed_pad = jnp.concatenate(
+        [packed, jnp.zeros((rows_pad - 6 - ch, n), jnp.float32)], axis=0
+    )
+    dup_data = gather_dup(
+        packed_pad, b["gid"], b["counts_culled"], grads_exact, n,
+        6 + ch, tile_cap,
     )
 
-    count_clip = jnp.minimum(tile_count, max_chunks * C_CHUNK)
+    count_clip = jnp.minimum(b["tile_count"], max_chunks * C_CHUNK)
     shape_info = (tx_n, num_tiles, ch, max_chunks)
     img_t, final_t, n_contrib = tile_composite(
-        shape_info, tile_start, count_clip, dup_data, settings.bg
+        shape_info, b["tile_start"], count_clip, dup_data, settings.bg
     )
 
     def assemble(x, c):
@@ -411,15 +332,15 @@ def render_fused(
     image = assemble(img_t, ch)
     final_t = assemble(final_t[..., None], 1)[..., 0]
     n_contrib = assemble(n_contrib[..., None], 1)[..., 0]
-    max_tile_count = jnp.max(tile_count)
+    max_tile_count = jnp.max(b["tile_count"])
     return dict(
         image=image,
         final_T=final_t,
         n_contrib=n_contrib,
         tile_overflow=jnp.maximum(max_tile_count - max_chunks * C_CHUNK, 0),
         max_tile_count=max_tile_count,
-        bin_overflow=overflow,
-        num_rendered=num_rendered,
-        cap_overflow=jnp.maximum(num_rendered - capacity, 0),
+        bin_overflow=b["overflow"],
+        num_rendered=b["num_rendered"],
+        cap_overflow=jnp.maximum(b["num_rendered"] - capacity, 0),
         max_tiles_touched=jnp.max(prep.tiles_touched),
     )

@@ -70,38 +70,25 @@ def _gather_dup_bwd(n, live_rows, seg_cap, res, ct):
     """Segmented reduction of dup-slot cotangents onto Gaussians.
 
     Sort slots by gaussian id (segments become contiguous, length <=
-    seg_cap), then a log2(seg_cap)-step shift-and-add suffix scan inside
-    segments puts each segment's full sum at its FIRST slot. Segment
-    starts are the exclusive cumsum of ``counts`` — exact because every
-    live slot of gaussian g is present in ``gid`` exactly once and
-    invalid/padding slots carry the sentinel ``n`` (sorting last). One
-    ascending gather at the start positions reads the sums out. f32
-    throughout: each sum has <= seg_cap terms.
+    seg_cap; invalid/padding slots carry the sentinel ``n`` and sort
+    last), permute the cotangent columns, then reduce segments onto
+    Gaussians with the MXU one-hot kernel (raster.segsum) — replacing the
+    previous shift-and-add scan + start-position gather, whose extraction
+    gather alone cost ~28 ms at bench scale. f32 throughout.
     """
+    from sugar_tpu.raster.segsum import segment_sum_sorted
+
     gid, counts, grads_exact = res
-    rows, d = ct.shape
-    ct = ct[:live_rows]
-    # Sort dup slots by gaussian id; padding/invalid (gid == n) sorts last.
+    del counts  # the segment kernel needs no offsets
+    d = ct.shape[1]
     slot = jnp.arange(d, dtype=jnp.int32)
     gid_sorted, perm = jax.lax.sort(
         (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
     )
-    y = ct[:, perm]  # (live_rows, D) one column gather
-    sh = 1
-    while sh < seg_cap:
-        y_next = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
-        g_next = jnp.pad(gid_sorted[sh:], (0, sh), constant_values=-1)
-        y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
-        sh *= 2
-
-    starts = jnp.cumsum(counts, dtype=jnp.int32) - counts  # exclusive
-    ok = grads_exact & (counts > 0)
-    d_live = jnp.where(
-        ok[None, :], y[:, jnp.minimum(starts, d - 1)], 0.0
-    )
-    if rows != live_rows:
-        d_live = jnp.pad(d_live, ((0, rows - live_rows), (0, 0)))
-    return d_live, None, None, None
+    y = ct[:, perm]  # one column gather (row width is free)
+    d_all = segment_sum_sorted(y, gid_sorted, n)
+    d_all = jnp.where(grads_exact, d_all, 0.0)
+    return d_all, None, None, None
 
 
 gather_dup.defvjp(_gather_dup_fwd, _gather_dup_bwd)
@@ -127,27 +114,18 @@ def _gather_dup_ss_fwd(packed, gid, n, live_rows, seg_cap):
 
 
 def _gather_dup_ss_bwd(n, live_rows, seg_cap, gid, ct):
-    rows, d = ct.shape
-    ct = ct[:live_rows]
+    """Correct for ANY gid multiset (no per-device counts needed) — and
+    since the segment kernel derives segments from the sorted ids alone,
+    it is now the same reduction as _gather_dup_bwd."""
+    from sugar_tpu.raster.segsum import segment_sum_sorted
+
+    d = ct.shape[1]
     slot = jnp.arange(d, dtype=jnp.int32)
     gid_sorted, perm = jax.lax.sort(
         (gid.astype(jnp.int32), slot), dimension=0, num_keys=1, is_stable=False
     )
     y = ct[:, perm]
-    sh = 1
-    while sh < seg_cap:
-        y_next = jnp.pad(y[:, sh:], ((0, 0), (0, sh)))
-        g_next = jnp.pad(gid_sorted[sh:], (0, sh), constant_values=-1)
-        y = y + jnp.where((g_next == gid_sorted)[None, :], y_next, 0.0)
-        sh *= 2
-    starts = jnp.searchsorted(
-        gid_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
-    ).astype(jnp.int32)
-    nonempty = starts[:-1] < starts[1:]
-    d_live = jnp.where(nonempty[None, :], y[:, jnp.minimum(starts[:-1], d - 1)], 0.0)
-    if rows != live_rows:
-        d_live = jnp.pad(d_live, ((0, rows - live_rows), (0, 0)))
-    return d_live, None
+    return segment_sum_sorted(y, gid_sorted, n), None
 
 
 gather_dup_searchsorted.defvjp(_gather_dup_ss_fwd, _gather_dup_ss_bwd)

@@ -137,3 +137,19 @@ def test_full_pipeline_toy(toy_blender_scene, tmp_path):
 
     d2 = load_gaussian_ply(refined)
     assert d2["xyz"].shape[0] == 6 * len(f)  # low_poly: 6 gaussians/triangle
+
+    # Hybrid walkthrough (the view_sugar_results.ipynb equivalent) runs on
+    # the refined artifacts: orbit renders + two-scene compositor frames.
+    sys_path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    import sys
+
+    sys.path.insert(0, sys_path)
+    try:
+        from demo_hybrid import run_demo
+    finally:
+        sys.path.remove(sys_path)
+    written = run_demo(refined, str(tmp_path / "demo"), n_frames=2,
+                       resolution=64, k_max=256)
+    for paths in written.values():
+        for p in paths:
+            assert os.path.exists(p) and os.path.getsize(p) > 0
