@@ -129,7 +129,7 @@ def main() -> None:
     _bench_scene(
         "rays_per_s_fwd_bwd_1M_gaussians_trained_stats",
         _scene_trained(n, np.random.default_rng(1)), h, w,
-        dup_capacity=4_200_000, k_max=16384, baseline=baseline,
+        dup_capacity=4_200_000, k_max=28672, baseline=baseline,
     )
     _bench_scene(
         "rays_per_s_fwd_bwd_1M_gaussians",

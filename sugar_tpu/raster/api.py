@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from sugar_tpu.raster import common as rc
@@ -39,6 +40,7 @@ def rasterize_gaussians(
     k_max: int = 1024,
     tile_chunk: int = 64,
     tile_cap: int | None = None,
+    debug: bool = False,
 ) -> dict[str, Any]:
     """Render one view. Returns dict(image (H,W,C), radii, final_T, n_contrib,
     plus overflow diagnostics for the tiled path).
@@ -47,7 +49,15 @@ def rasterize_gaussians(
     When None it is derived as max(16, dup_capacity // N); a Gaussian
     touching more tiles than the cap has the excess rects dropped and
     counted in ``bin_overflow`` — check it (or use raster.adaptive) when
-    rendering scenes with large near-camera splats."""
+    rendering scenes with large near-camera splats.
+
+    ``debug``: the analog of the CUDA rasterizer's debug flag
+    (diff_gaussian_rasterization/__init__.py:83-90): after the render, a
+    host callback checks every input and the output image for non-finite
+    values and, on failure, writes an ``.npz`` input snapshot to
+    ``$SUGAR_TPU_SNAPSHOT_DIR`` (default /tmp) for offline forwarding —
+    the XLA equivalent of snapshot_fw.dump (kernels cannot crash
+    mid-launch here, but poisoned inputs propagate NaNs the same way)."""
     prep = preprocess(
         means3d,
         opacities,
@@ -115,4 +125,38 @@ def rasterize_gaussians(
     else:
         raise ValueError(f"unknown mode: {mode}")
     out["radii"] = prep.radius
+    if debug:
+        jax.debug.callback(
+            _debug_snapshot,
+            dict(
+                means3d=means3d, opacities=opacities, scales=scales,
+                quaternions=quaternions, colors=colors, shs=shs,
+                image=out["image"],
+            ),
+        )
     return out
+
+
+def _debug_snapshot(arrays: dict) -> None:
+    """Host-side finiteness check + input snapshot dump (debug=True)."""
+    import os
+    import time
+
+    import numpy as np
+
+    bad = [
+        k for k, v in arrays.items()
+        if v is not None and not np.isfinite(np.asarray(v)).all()
+    ]
+    if not bad:
+        return
+    out_dir = os.environ.get("SUGAR_TPU_SNAPSHOT_DIR", "/tmp")
+    path = os.path.join(out_dir, f"sugar_tpu_snapshot_{int(time.time())}.npz")
+    np.savez_compressed(
+        path, **{k: np.asarray(v) for k, v in arrays.items() if v is not None}
+    )
+    print(
+        f"[sugar_tpu debug] non-finite values in {bad}; "
+        f"input snapshot written to {path} (forward it in a bug report, "
+        f"as with the CUDA rasterizer's snapshot_fw.dump)"
+    )
