@@ -38,12 +38,24 @@ def knn_sharded(
     """Returns (sq_dists (Q, k), global idx (Q, k)) ascending, sharded on
     ``axis`` along dim 0."""
     n_dev = mesh.shape[axis]
+    q_orig = queries.shape[0]
+    if ref_mask is None:
+        ref_mask = jnp.ones((refs.shape[0],), bool)
+    # Pad queries/refs to multiples of the axis size so any device count
+    # works (pad refs are masked out; pad query rows are sliced off).
+    def _pad_to(x, mult, fill=0.0):
+        r = (-x.shape[0]) % mult
+        if r == 0:
+            return x
+        pad = jnp.full((r,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=0)
+
+    queries = _pad_to(queries, n_dev)
+    refs = _pad_to(refs, n_dev)
+    ref_mask = _pad_to(ref_mask, n_dev, fill=False)
     q_n = queries.shape[0]
     r_n = refs.shape[0]
-    assert q_n % n_dev == 0 and r_n % n_dev == 0, (q_n, r_n, n_dev)
     shard = r_n // n_dev
-    if ref_mask is None:
-        ref_mask = jnp.ones((r_n,), bool)
 
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
@@ -105,8 +117,10 @@ def knn_sharded(
         # Mark the carry as device-varying up front (axis_index makes the
         # loop outputs varying; scan requires matching carry types).
         init = (
-            jax.lax.pvary(jnp.full((ql, k), jnp.inf, queries.dtype), (axis,)),
-            jax.lax.pvary(jnp.zeros((ql, k), jnp.int32), (axis,)),
+            jax.lax.pcast(
+                jnp.full((ql, k), jnp.inf, queries.dtype), (axis,), to="varying"
+            ),
+            jax.lax.pcast(jnp.zeros((ql, k), jnp.int32), (axis,), to="varying"),
             r,
             m,
         )
@@ -119,4 +133,8 @@ def knn_sharded(
             jnp.take_along_axis(best_i, order, axis=1),
         )
 
-    return ring(queries, refs, ref_mask)
+    d_out, i_out = ring(queries, refs, ref_mask)
+    if q_orig != q_n:
+        d_out = d_out[:q_orig]
+        i_out = i_out[:q_orig]
+    return d_out, i_out

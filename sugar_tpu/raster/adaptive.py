@@ -55,18 +55,33 @@ class RasterCaps:
     tile_cap: int = 8
     dup_capacity: int | None = None  # None = n * tile_cap (lossless)
     k_max: int = 4096
+    # Fused-binning bucket sizing (raster/fused.py): every Gaussian owns
+    # cap_a rect slots; Gaussians with bigger rects get one of big_cap
+    # wide rows. None = render_fused's n-derived default.
+    cap_a: int = 4
+    big_cap: int | None = None
 
     def grown(self, ovf: dict[str, int]) -> "RasterCaps":
         """Return caps covering the observed overflow diagnostics.
 
-        ``ovf`` holds ints for (bin_overflow, cap_overflow, tile_overflow,
-        max_tiles_touched, max_tile_count, num_rendered).
+        ``ovf`` holds ints for (bin_overflow, big_overflow, cap_overflow,
+        tile_overflow, max_tiles_touched, max_tile_count, num_rendered,
+        num_big).
         """
         tile_cap = self.tile_cap
-        # bin_overflow counts both truncations; the per-gaussian part is
-        # what max_tiles_touched sizes.
-        if ovf.get("bin_overflow", 0) - ovf.get("cap_overflow", 0) > 0:
+        big = ovf.get("big_overflow", 0)
+        # bin_overflow folds all three truncations; the per-gaussian rect
+        # part is what max_tiles_touched sizes.
+        rect = ovf.get("bin_overflow", 0) - ovf.get("cap_overflow", 0) - big
+        if rect > 0:
             tile_cap = _next_pow2(max(ovf["max_tiles_touched"], tile_cap + 1))
+        big_cap = self.big_cap
+        if big > 0:
+            # Grow the bucket-B row count toward the observed number of
+            # Gaussians whose rect exceeds cap_a (ADVICE r4: big_cap must
+            # participate in auto-grow, not masquerade as tile_cap).
+            base = big_cap if big_cap is not None else 0
+            big_cap = _next_pow2(max(ovf.get("num_big", base * 2 + 1), base + 1))
         dup_capacity = self.dup_capacity
         if ovf.get("cap_overflow", 0) > 0:
             need = int(ovf["num_rendered"] * 1.25)
@@ -75,16 +90,21 @@ class RasterCaps:
         k_max = self.k_max
         if ovf.get("tile_overflow", 0) > 0:
             k_max = _round_up(max(ovf["max_tile_count"], k_max + 1), _CHUNK)
-        return RasterCaps(tile_cap=tile_cap, dup_capacity=dup_capacity, k_max=k_max)
+        return RasterCaps(
+            tile_cap=tile_cap, dup_capacity=dup_capacity, k_max=k_max,
+            cap_a=self.cap_a, big_cap=big_cap,
+        )
 
 
 _OVF_KEYS = (
     "bin_overflow",
+    "big_overflow",
     "cap_overflow",
     "tile_overflow",
     "max_tiles_touched",
     "max_tile_count",
     "num_rendered",
+    "num_big",
 )
 
 
@@ -126,6 +146,8 @@ def render_adaptive(
             tile_cap=caps.tile_cap,
             dup_capacity=caps.dup_capacity,
             k_max=caps.k_max,
+            cap_a=caps.cap_a,
+            big_cap=caps.big_cap,
             **kwargs,
         )
         ovf = read_overflow(out)
@@ -156,7 +178,8 @@ class CapState:
         self.grow_events: list[dict] = []
 
     def key(self) -> tuple:
-        return (self.caps.tile_cap, self.caps.dup_capacity, self.caps.k_max)
+        return (self.caps.tile_cap, self.caps.dup_capacity, self.caps.k_max,
+                self.caps.cap_a, self.caps.big_cap)
 
     def observe(self, aux: dict[str, Any]) -> bool:
         """Inspect a step's overflow counters; grow caps if needed.

@@ -24,6 +24,16 @@ from sugar_tpu.raster.reference_impl import render_reference
 from sugar_tpu.raster.tiled import render_tiled
 
 
+def resolve_mode(mode: str) -> str:
+    """Resolve ``mode='auto'``: the fused Pallas production path on TPU,
+    the pure-XLA tiled path elsewhere (CPU tests / debugging). Mirrors the
+    reference, which always trains *through* its CUDA kernel
+    (coarse_sdf.py:506) but keeps python reference paths for checking."""
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "tiled"
+    return mode
+
+
 def rasterize_gaussians(
     means3d: jnp.ndarray,
     opacities: jnp.ndarray,
@@ -40,6 +50,8 @@ def rasterize_gaussians(
     k_max: int = 1024,
     tile_chunk: int = 64,
     tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
     debug: bool = False,
 ) -> dict[str, Any]:
     """Render one view. Returns dict(image (H,W,C), radii, final_T, n_contrib,
@@ -58,6 +70,7 @@ def rasterize_gaussians(
     ``$SUGAR_TPU_SNAPSHOT_DIR`` (default /tmp) for offline forwarding —
     the XLA equivalent of snapshot_fw.dump (kernels cannot crash
     mid-launch here, but poisoned inputs propagate NaNs the same way)."""
+    mode = resolve_mode(mode)
     prep = preprocess(
         means3d,
         opacities,
@@ -99,7 +112,7 @@ def rasterize_gaussians(
             tile_cap = max(16, dup_capacity // means3d.shape[0])
         out = render_fused(
             prep, settings, tile_cap=tile_cap, capacity=dup_capacity,
-            max_per_tile=k_max,
+            max_per_tile=k_max, cap_a=cap_a, big_cap=big_cap,
         )
     elif mode == "pallas_twopass":
         # Previous two-pass layout (dense binning + gather_dup); kept for

@@ -133,6 +133,9 @@ def bin_fused(
     segment offsets would be wrong; the gather_dup backward then returns
     zeros and the auto-grow protocol re-renders)."""
     n = prep.tiles_touched.shape[0]
+    # Integer fields round-trip through an f32 stack (bucket-B compaction)
+    # and _slot_tiles uses an f32 divide: both exact only below 2^24.
+    assert n < 2**24, f"bin_fused supports < 2^24 Gaussians, got {n}"
     cap_a = min(cap_a, tile_cap)
     big_cap = min(big_cap, n)
     cap_b = tile_cap - cap_a
@@ -270,6 +273,8 @@ def bin_fused(
         num_rendered=num_rendered,
         overflow=rect_overflow + big_overflow + cap_overflow,
         inexact=big_overflow + cap_overflow,
+        big_overflow=big_overflow,
+        num_big=jnp.sum((counts > cap_a).astype(jnp.int32)),
     )
 
 
@@ -340,6 +345,8 @@ def render_fused(
         tile_overflow=jnp.maximum(max_tile_count - max_chunks * C_CHUNK, 0),
         max_tile_count=max_tile_count,
         bin_overflow=b["overflow"],
+        big_overflow=b["big_overflow"],
+        num_big=b["num_big"],
         num_rendered=b["num_rendered"],
         cap_overflow=jnp.maximum(b["num_rendered"] - capacity, 0),
         max_tiles_touched=jnp.max(prep.tiles_touched),

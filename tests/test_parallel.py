@@ -299,6 +299,26 @@ class TestShardedKNN:
         )
         np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
 
+    def test_non_divisible_counts_pad_internally(self):
+        """Q/R not divisible by the axis size must pad, not assert
+        (ADVICE r4: e.g. 3- or 6-device meshes)."""
+        import jax.numpy as jnp
+
+        from sugar_tpu.fields.knn import knn
+        from sugar_tpu.parallel.knn import knn_sharded
+
+        g = np.random.default_rng(9)
+        q = jnp.asarray(g.normal(size=(50, 3)).astype(np.float32))
+        r = jnp.asarray(g.normal(size=(71, 3)).astype(np.float32))
+        mesh = jax.sharding.Mesh(np.asarray(jax.devices()[:3]), ("shard",))
+        d_ref, i_ref = knn(q, r, k=4)
+        d_sh, i_sh = knn_sharded(mesh, "shard", q, r, k=4)
+        assert d_sh.shape == (50, 4)
+        np.testing.assert_allclose(
+            np.asarray(d_sh), np.asarray(d_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
     def test_self_knn_includes_self(self):
         import jax.numpy as jnp
 
