@@ -107,13 +107,21 @@ def make_parity_scene(
     import jax.numpy as jnp
 
     from sugar_tpu.models.render import render_model
+    from sugar_tpu.raster import adaptive
 
     target = make_gt_model(n_gt, seed=seed)
     cams = make_cameras(n_cams, resolution=resolution)
     images = []
+    caps = adaptive.RasterCaps(
+        tile_cap=16,
+        dup_capacity=dup_capacity if dup_capacity is not None else 8 * n_gt,
+        k_max=k_max,
+    )
     for cam in cams:
-        out = render_model(
-            target, cam, dup_capacity=dup_capacity, k_max=k_max, mode=render_mode
+        # Exact (overflow-free) GT renders via the auto-grow protocol.
+        out, caps = adaptive.render_adaptive(
+            lambda **kw: render_model(target, cam, mode=render_mode, **kw),
+            caps,
         )
         images.append(np.asarray(jnp.clip(out["image"], 0.0, 1.0)))
 
@@ -143,23 +151,41 @@ def eval_gaussian_ply(
     ply_path: str,
     scene: SceneData,
     indices: list[int],
-    render_mode: str = "tiled",
+    render_mode: str = "auto",
     dup_capacity: int | None = None,
     k_max: int = 1024,
 ) -> dict:
-    """PSNR/SSIM of a gaussian PLY on the given camera indices."""
+    """PSNR/SSIM of a gaussian PLY on the given camera indices.
+
+    Renders through the capacity auto-grow protocol (raster.adaptive) and
+    asserts zero overflow, so scores measure model quality, never silent
+    per-tile clipping (the r4 footgun: a refined surface model at 3
+    Gaussians/triangle can exceed a fixed k_max and lose PSNR to clipping).
+    ``dup_capacity``/``k_max`` are starting capacities only."""
     from sugar_tpu.eval.metrics import evaluate_renders
     from sugar_tpu.models.render import render_model
+    from sugar_tpu.raster import adaptive
 
     model = gm.load_ply(ply_path)
+    if dup_capacity is None:
+        dup_capacity = 8 * model.capacity
+    cap_box = {
+        "caps": adaptive.RasterCaps(
+            tile_cap=16, dup_capacity=dup_capacity, k_max=k_max
+        )
+    }
 
     def render_fn(i):
-        return render_model(
-            model,
-            scene.cameras[i],
-            dup_capacity=dup_capacity,
-            k_max=k_max,
-            mode=render_mode,
-        )["image"]
+        def _render(**caps_kw):
+            return render_model(
+                model, scene.cameras[i], mode=render_mode, **caps_kw
+            )
+
+        out, cap_box["caps"] = adaptive.render_adaptive(
+            _render, cap_box["caps"]
+        )
+        ovf = adaptive.read_overflow(out)
+        assert not adaptive.overflowed(ovf), ovf
+        return out["image"]
 
     return evaluate_renders(render_fn, scene.images, indices)

@@ -122,6 +122,17 @@ def extract_mesh_from_coarse_model(
         parts.append((v, f))
 
     verts, faces = meshops.merge_meshes(parts)
+    # Vertex colors: nearest level-set point's color (the reference's Open3D
+    # Poisson interpolates cloud colors onto the mesh, coarse_mesh.py:389,
+    # 465-489; refine initializes its SH-DC from these vertex colors,
+    # sugar_model.py:216-224). Without them, refinement would restart from
+    # gray at feature_lr=0.0025 and lose the coarse stage's appearance.
+    vcolors = None
+    if cloud.get("colors") is not None and len(verts) > 0:
+        from scipy.spatial import cKDTree
+
+        _, nn = cKDTree(pts).query(verts, k=1)
+        vcolors = np.clip(cloud["colors"][nn], 0.0, 1.0)
     if output_path is not None:
-        ply_io.save_mesh_ply(output_path, verts, faces)
+        ply_io.save_mesh_ply(output_path, verts, faces, vertex_colors=vcolors)
     return verts, faces

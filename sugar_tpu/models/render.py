@@ -26,10 +26,18 @@ def render_model(
     colors_override: jnp.ndarray | None = None,
     dup_capacity: int | None = None,
     k_max: int = 1024,
-    mode: str = "tiled",
+    mode: str = "auto",
+    tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
 ) -> dict:
     """Render one view of the model. ``colors_override`` bypasses SH (used
-    for depth/feature rendering, the reference's point_colors trick)."""
+    for depth/feature rendering, the reference's point_colors trick).
+
+    ``mode='auto'`` (default) renders through the fused Pallas production
+    path on TPU and the pure-XLA tiled path elsewhere — the analog of the
+    reference always rendering through its CUDA kernel
+    (gaussian_renderer/__init__.py:18-100)."""
     import dataclasses
 
     if active_sh_degree is None:
@@ -51,6 +59,9 @@ def render_model(
         mode=mode,
         dup_capacity=dup_capacity,
         k_max=k_max,
+        tile_cap=tile_cap,
+        cap_a=cap_a,
+        big_cap=big_cap,
     )
 
 
@@ -63,6 +74,10 @@ def render_params(
     ndc_offset: jnp.ndarray | None = None,
     dup_capacity: int | None = None,
     k_max: int = 1024,
+    mode: str = "auto",
+    tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
 ) -> dict:
     """Differentiable path taking raw params explicitly (for jax.grad)."""
     settings = rc.from_camera(camera, bg=bg)
@@ -80,7 +95,10 @@ def render_params(
         shs=sh[:, :, :k],
         alive_mask=alive,
         ndc_offset=ndc_offset,
-        mode="tiled",
+        mode=mode,
         dup_capacity=dup_capacity,
         k_max=k_max,
+        tile_cap=tile_cap,
+        cap_a=cap_a,
+        big_cap=big_cap,
     )

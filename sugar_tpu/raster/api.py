@@ -94,6 +94,11 @@ def rasterize_gaussians(
         )
         out["bin_overflow"] = binning.overflow
         out["num_rendered"] = binning.num_rendered
+        # Uniform auto-grow diagnostics (raster.adaptive): the tiled path's
+        # bin overflow is a total-duplication-capacity truncation, so it
+        # doubles as cap_overflow; k_max sizing comes from max_tile_count.
+        out["cap_overflow"] = binning.overflow
+        out["max_tile_count"] = jnp.max(binning.tile_count)
     elif mode == "pallas":
         # Production path: fused payload-carrying binning sort with
         # exact-support tile culling (raster/fused.py), then the Pallas

@@ -24,6 +24,7 @@ import numpy as np
 
 from sugar_tpu.core.cameras import Camera
 from sugar_tpu.models.gaussians import GaussianParams
+from sugar_tpu.raster import adaptive
 from sugar_tpu.raster import common as rcm
 from sugar_tpu.raster.api import rasterize_gaussians
 from sugar_tpu.refine import bound as B
@@ -44,6 +45,8 @@ class RefineConfig:
     white_background: bool = False
     k_max: int = 1024
     dup_capacity_mult: int = 8
+    # 'auto' = fused Pallas kernel on TPU, tiled elsewhere.
+    render_mode: str = "auto"
     log_every: int = 50
     # reference refine position lrs = vanilla * 0.01 (coarse_sdf.py bind
     # branch / refine.py).
@@ -120,6 +123,10 @@ def render_bound(
     bg: jnp.ndarray,
     dup_capacity: int,
     k_max: int,
+    mode: str = "auto",
+    tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
 ):
     arrs = B.to_gaussian_arrays(params, bm)
     settings = dataclasses.replace(
@@ -133,10 +140,53 @@ def render_bound(
         scales=arrs["scales"],
         quaternions=arrs["quaternions"],
         shs=arrs["sh"][:, :, :k],
-        mode="tiled",
+        mode=mode,
         dup_capacity=dup_capacity,
         k_max=k_max,
+        tile_cap=tile_cap,
+        cap_a=cap_a,
+        big_cap=big_cap,
     )
+
+
+def refine_loss(
+    cfg: RefineConfig,
+    p: B.BoundParams,
+    bm: B.BoundMesh,
+    pairs: jnp.ndarray,
+    camera: Camera,
+    gt: jnp.ndarray,
+    active_sh_degree: int,
+    dup_capacity: int,
+    k_max: int | None = None,
+    render_mode: str | None = None,
+    tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
+):
+    """One view's refinement loss (RGB + normal consistency,
+    refine.py:553-587, 774-783). Pure jnp — shared by the single-chip step
+    below and the multi-chip parallel.refine step (GSPMD shards it with
+    identical semantics)."""
+    if k_max is None:
+        k_max = cfg.k_max
+    if render_mode is None:
+        render_mode = cfg.render_mode
+    bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
+    out = render_bound(
+        p, bm, camera, active_sh_degree, bg, dup_capacity, k_max,
+        mode=render_mode, tile_cap=tile_cap, cap_a=cap_a, big_cap=big_cap,
+    )
+    img = jnp.clip(out["image"], 0.0, 1.0)
+    loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + cfg.dssim_factor * (
+        1.0 - losses.ssim(img, gt)
+    )
+    loss = loss + cfg.normal_consistency_factor * B.normal_consistency_loss(
+        p.vertices, bm.faces, pairs
+    )
+    aux = dict(psnr=losses.psnr(img, gt))
+    aux.update({k: out[k] for k in adaptive._OVF_KEYS if k in out})
+    return loss, aux
 
 
 def make_refine_step(
@@ -145,22 +195,16 @@ def make_refine_step(
     pairs: jnp.ndarray,
     lrs,
     active_sh_degree: int,
-    dup_capacity: int,
+    caps: adaptive.RasterCaps,
 ):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step_fn(params: B.BoundParams, adam: BoundAdamState, camera: Camera, gt, it):
-        bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
-
         def loss_fn(p):
-            out = render_bound(p, bm, camera, active_sh_degree, bg, dup_capacity, cfg.k_max)
-            img = jnp.clip(out["image"], 0.0, 1.0)
-            loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + cfg.dssim_factor * (
-                1.0 - losses.ssim(img, gt)
+            return refine_loss(
+                cfg, p, bm, pairs, camera, gt, active_sh_degree,
+                caps.dup_capacity, k_max=caps.k_max, tile_cap=caps.tile_cap,
+                cap_a=caps.cap_a, big_cap=caps.big_cap,
             )
-            loss = loss + cfg.normal_consistency_factor * B.normal_consistency_loss(
-                p.vertices, bm.faces, pairs
-            )
-            return loss, dict(psnr=losses.psnr(img, gt), bin_overflow=out["bin_overflow"])
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         new_params, new_adam = bound_adam_step(params, grads, adam, it, lrs, cfg)
@@ -203,7 +247,14 @@ def refined_training(
     spatial_lr_scale = 10.0 * bbox_radius / np.sqrt(max(len(vertices), 1))
     lrs = bound_lrs(cfg, spatial_lr_scale)
     adam = init_bound_adam(params)
-    dup_capacity = cfg.dup_capacity_mult * params.opacity_logit.shape[0]
+    cap_state = adaptive.CapState(
+        adaptive.RasterCaps(
+            tile_cap=16,
+            dup_capacity=cfg.dup_capacity_mult * params.opacity_logit.shape[0],
+            k_max=cfg.k_max,
+        ),
+        log_fn=log_fn,
+    )
 
     start_iteration = 0
     if checkpoint_dir and resume:
@@ -219,17 +270,24 @@ def refined_training(
                 log_fn({"event": "resume", "iteration": start_iteration})
 
     sched = CameraSchedule(seed, len(cameras))
-    step_cache: dict[int, Callable] = {}
+    step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
+    prev_aux = None
 
     for it in range(start_iteration, cfg.num_iterations):
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
         deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
-        if deg not in step_cache:
-            step_cache[deg] = make_refine_step(cfg, bm, pairs, lrs, deg, dup_capacity)
+        skey = (deg, cap_state.key())
+        if skey not in step_cache:
+            step_cache[skey] = make_refine_step(
+                cfg, bm, pairs, lrs, deg, cap_state.caps
+            )
         ci = sched.index(it)
-        params, adam, aux = step_cache[deg](
+        params, adam, aux = step_cache[skey](
             params, adam, cameras[ci], jnp.asarray(images[ci]), jnp.asarray(it, jnp.int32)
         )
+        prev_aux = aux
         if checkpoint_dir and (it + 1) in cfg.checkpoint_iterations:
             ckpt.save_milestone(
                 checkpoint_dir, it + 1,

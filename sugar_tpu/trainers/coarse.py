@@ -43,6 +43,7 @@ from sugar_tpu.fields.knn import knn
 from sugar_tpu.models import densifier as dens
 from sugar_tpu.models.gaussians import GaussianModel, GaussianParams
 from sugar_tpu.models.render import render_params
+from sugar_tpu.raster import adaptive
 from sugar_tpu.core.quaternions import normalize as quat_normalize, quaternion_apply, quaternion_invert
 from sugar_tpu.trainers import optimizer as opt
 from sugar_tpu.trainers.schedule import CameraSchedule, iteration_key
@@ -78,6 +79,8 @@ class CoarseConfig:
     white_background: bool = False
     k_max: int = 1024
     dup_capacity_mult: int = 10
+    # 'auto' = fused Pallas kernel on TPU, tiled elsewhere.
+    render_mode: str = "auto"
     log_every: int = 50
     # Milestone saves (reference: coarse_sdf.py:224, 782-793 saves 15000;
     # 9000 additionally captures the post-prune state).
@@ -109,15 +112,23 @@ def coarse_loss(
     dup_capacity: int,
     with_entropy: bool,
     with_sdf: bool,
+    render_mode: str = "tiled",
+    k_max: int | None = None,
+    tile_cap: int | None = None,
+    cap_a: int = 4,
+    big_cap: int | None = None,
 ):
     """One view's coarse-stage loss (RGB + entropy + SDF/density + normal
     terms). Shared by the single-chip step below and the multi-chip
     parallel.coarse step (pure jnp — GSPMD shards it with the same
     semantics)."""
+    if k_max is None:
+        k_max = cfg.k_max
     bg = jnp.full((3,), 1.0 if cfg.white_background else 0.0, jnp.float32)
     out = render_params(
         p, alive, camera, cfg.sh_degree, bg,
-        dup_capacity=dup_capacity, k_max=cfg.k_max,
+        dup_capacity=dup_capacity, k_max=k_max, mode=render_mode,
+        tile_cap=tile_cap, cap_a=cap_a, big_cap=big_cap,
     )
     img = jnp.clip(out["image"], 0.0, 1.0)
     loss = (1 - cfg.dssim_factor) * losses.l1_loss(img, gt) + (
@@ -145,7 +156,8 @@ def coarse_loss(
         zs = p.xyz @ camera.world_view[2, :3] + camera.world_view[2, 3]
         max_depth = jnp.max(jnp.where(alive, zs, 0.0))
         depth_img = _render_depth(
-            p, alive, camera, zs, max_depth, dup_capacity, cfg.k_max
+            p, alive, camera, zs, max_depth, dup_capacity, k_max,
+            mode=render_mode, tile_cap=tile_cap, cap_a=cap_a, big_cap=big_cap,
         )
 
         sampling_mask = visible
@@ -242,9 +254,8 @@ def coarse_loss(
         loss=loss,
         psnr=losses.psnr(img, gt),
         n_visible=jnp.sum(visible.astype(jnp.int32)),
-        bin_overflow=out["bin_overflow"],
-        tile_overflow=out["tile_overflow"],
     )
+    aux.update({k: out[k] for k in adaptive._OVF_KEYS if k in out})
     return loss, aux
 
 
@@ -255,9 +266,9 @@ def make_coarse_step(
     capacity: int,
     with_entropy: bool,
     with_sdf: bool,
-    dup_capacity: int,
+    caps: adaptive.RasterCaps,
 ):
-    """Jitted coarse step for one (entropy, sdf) phase."""
+    """Jitted coarse step for one (entropy, sdf, raster caps) phase."""
 
     spatial_extent = float(extent)
 
@@ -275,7 +286,9 @@ def make_coarse_step(
         def loss_fn(p: GaussianParams):
             return coarse_loss(
                 cfg, p, alive, knn_idx, camera, gt, rng, spatial_extent,
-                dup_capacity, with_entropy, with_sdf,
+                caps.dup_capacity, with_entropy, with_sdf,
+                render_mode=cfg.render_mode, k_max=caps.k_max,
+                tile_cap=caps.tile_cap, cap_a=caps.cap_a, big_cap=caps.big_cap,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -294,7 +307,8 @@ def _project_to_pixels(points: jnp.ndarray, camera: Camera) -> jnp.ndarray:
     return jnp.stack([px, py], axis=-1)
 
 
-def _render_depth(params, alive, camera, zs, max_depth, dup_capacity, k_max):
+def _render_depth(params, alive, camera, zs, max_depth, dup_capacity, k_max,
+                  mode="tiled", tile_cap=None, cap_a=4, big_cap=None):
     """Depth map through the rasterizer: color channel = view z, background
     = max depth (coarse_sdf.py:578-604)."""
     colors = jnp.broadcast_to(zs[:, None], (zs.shape[0], 3))
@@ -302,11 +316,14 @@ def _render_depth(params, alive, camera, zs, max_depth, dup_capacity, k_max):
         params, alive, camera, colors,
         bg=jnp.full((3,), 1.0, jnp.float32) * max_depth,
         dup_capacity=dup_capacity, k_max=k_max,
+        mode=mode, tile_cap=tile_cap, cap_a=cap_a, big_cap=big_cap,
     )
     return out["image"][..., 0]
 
 
-def render_params_with_colors(params, alive, camera, colors, bg, dup_capacity, k_max):
+def render_params_with_colors(params, alive, camera, colors, bg, dup_capacity,
+                              k_max, mode="auto", tile_cap=None, cap_a=4,
+                              big_cap=None):
     import dataclasses as dc
 
     from sugar_tpu.raster import common as rcm
@@ -321,9 +338,12 @@ def render_params_with_colors(params, alive, camera, colors, bg, dup_capacity, k
         quaternions=quat_normalize(params.quaternions),
         colors=colors,
         alive_mask=alive,
-        mode="tiled",
+        mode=mode,
         dup_capacity=dup_capacity,
         k_max=k_max,
+        tile_cap=tile_cap,
+        cap_a=cap_a,
+        big_cap=big_cap,
     )
 
 
@@ -359,7 +379,13 @@ def train_coarse(
     capacity = model.capacity
     adam = opt.init_adam(model.params)
     lrs = opt.group_lrs(cfg.optim, spatial_lr_scale=extent)
-    dup_capacity = cfg.dup_capacity_mult * capacity
+    cap_state = adaptive.CapState(
+        adaptive.RasterCaps(
+            tile_cap=16, dup_capacity=cfg.dup_capacity_mult * capacity,
+            k_max=cfg.k_max,
+        ),
+        log_fn=log_fn,
+    )
 
     # The jitted step donates its param/adam buffers; copy so the caller's
     # model stays alive (it may be reused across runs).
@@ -387,9 +413,12 @@ def train_coarse(
     sched = CameraSchedule(seed, len(scene_cameras))
     step_cache: dict = {}
     t0 = time.time()
+    prev_aux = None
 
     for it in range(start_iteration, cfg.num_iterations):
         iteration = it + 1  # reference counts from 1 (coarse_sdf.py:468)
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
 
         with_entropy = cfg.entropy_start < iteration < cfg.entropy_end
         with_sdf = iteration > cfg.start_sdf_estimation_from
@@ -402,10 +431,11 @@ def train_coarse(
         if knn_idx is None:
             knn_idx = jnp.zeros((capacity, cfg.knn_to_track), jnp.int32)
 
-        key = (with_entropy, with_sdf)
+        key = (with_entropy, with_sdf, cap_state.key())
         if key not in step_cache:
             step_cache[key] = make_coarse_step(
-                cfg, lrs, extent, capacity, with_entropy, with_sdf, dup_capacity
+                cfg, lrs, extent, capacity, with_entropy, with_sdf,
+                cap_state.caps,
             )
 
         ci = sched.index(it - cfg.start_iteration)
@@ -414,6 +444,7 @@ def train_coarse(
             params, alive, adam, knn_idx, scene_cameras[ci],
             jnp.asarray(scene_images[ci]), jnp.asarray(it, jnp.int32), sub,
         )
+        prev_aux = aux
 
         if iteration in cfg.prune_at:
             op = jax.nn.sigmoid(params.opacity_logit)

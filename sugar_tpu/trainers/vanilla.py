@@ -26,6 +26,7 @@ from sugar_tpu.core.cameras import Camera, Cameras
 from sugar_tpu.models import densifier as dens
 from sugar_tpu.models.gaussians import GaussianModel, GaussianParams, create_from_pcd
 from sugar_tpu.models.render import render_params
+from sugar_tpu.raster import adaptive
 from sugar_tpu.trainers import optimizer as opt
 from sugar_tpu.trainers.schedule import CameraSchedule, iteration_key
 from sugar_tpu.utils import checkpoint as ckpt
@@ -50,6 +51,9 @@ class TrainConfig:
     capacity: int = 2**18
     dup_capacity_mult: int = 12
     k_max: int = 1024
+    # 'auto' = fused Pallas kernel on TPU, pure-XLA tiled elsewhere (the
+    # reference always trains through its CUDA kernel, coarse_sdf.py:506).
+    render_mode: str = "auto"
     optim: opt.OptimConfig = dataclasses.field(default_factory=opt.OptimConfig)
     log_every: int = 200
     # Milestone checkpoint iterations (reference saves at 7000/30000,
@@ -62,9 +66,9 @@ def make_train_step(
     cfg: TrainConfig,
     lrs: dict[str, Callable],
     active_sh_degree: int,
-    dup_capacity: int,
+    caps: adaptive.RasterCaps,
 ):
-    """Build the jitted train step for a given active SH degree."""
+    """Build the jitted train step for one (SH degree, raster caps) pair."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def step_fn(
@@ -82,7 +86,9 @@ def make_train_step(
         def loss_fn(p, probe):
             out = render_params(
                 p, alive, camera, active_sh_degree, bg,
-                ndc_offset=probe, dup_capacity=dup_capacity, k_max=cfg.k_max,
+                ndc_offset=probe, dup_capacity=caps.dup_capacity,
+                k_max=caps.k_max, mode=cfg.render_mode,
+                tile_cap=caps.tile_cap, cap_a=caps.cap_a, big_cap=caps.big_cap,
             )
             img = jnp.clip(out["image"], 0.0, 1.0)
             loss = (1 - cfg.lambda_dssim) * losses.l1_loss(img, gt) + (
@@ -99,9 +105,8 @@ def make_train_step(
             loss=loss,
             psnr=losses.psnr(jnp.clip(out["image"], 0, 1), gt),
             radii=out["radii"],
-            bin_overflow=out["bin_overflow"],
-            tile_overflow=out["tile_overflow"],
         )
+        aux.update({k: out[k] for k in adaptive._OVF_KEYS if k in out})
         return new_params, new_adam, new_stats, aux
 
     return step_fn
@@ -150,6 +155,14 @@ def train_vanilla_3dgs(
     stats = dens.DensifyStats.zeros(cfg.capacity)
     lrs = opt.group_lrs(cfg.optim, spatial_lr_scale=extent)
     dup_capacity = cfg.dup_capacity_mult * cfg.capacity
+    # Lag-checked capacity auto-grow (raster.adaptive): an overflowing step
+    # renders a degraded frame, the next step re-jits with grown caps.
+    cap_state = adaptive.CapState(
+        adaptive.RasterCaps(
+            tile_cap=16, dup_capacity=dup_capacity, k_max=cfg.k_max
+        ),
+        log_fn=log_fn,
+    )
 
     params, alive = model.params, model.alive
     if checkpoint_dir and resume:
@@ -168,8 +181,9 @@ def train_vanilla_3dgs(
 
     sched = CameraSchedule(seed, len(scene_cameras))
 
-    step_cache: dict[int, Callable] = {}
+    step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
+    prev_aux = None
 
     def _gui_render(msg: dict):
         """Render the live model for an interactive-viewer poll
@@ -179,9 +193,10 @@ def train_vanilla_3dgs(
 
         cam = camera_from_message(msg)
         live = dataclasses.replace(model, params=params, alive=alive)
-        return render_model(live, cam, dup_capacity=dup_capacity, k_max=cfg.k_max)[
-            "image"
-        ]
+        return render_model(
+            live, cam, dup_capacity=cap_state.caps.dup_capacity,
+            k_max=cap_state.caps.k_max,
+        )["image"]
 
     for it in range(start_iteration, cfg.iterations):
         if network_gui is not None:
@@ -192,16 +207,20 @@ def train_vanilla_3dgs(
                 training_done=False,
                 source_path=source_path,
             )
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
         active_deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
-        if active_deg not in step_cache:
-            step_cache[active_deg] = make_train_step(cfg, lrs, active_deg, dup_capacity)
+        skey = (active_deg, cap_state.key())
+        if skey not in step_cache:
+            step_cache[skey] = make_train_step(cfg, lrs, active_deg, cap_state.caps)
         ci = sched.index(it)
         cam = scene_cameras[ci]
         gt = jnp.asarray(scene_images[ci])
 
-        params, adam, stats, aux = step_cache[active_deg](
+        params, adam, stats, aux = step_cache[skey](
             params, alive, adam, stats, cam, gt, jnp.asarray(it, jnp.int32)
         )
+        prev_aux = aux
 
         it1 = it + 1
         if cfg.densify_from < it1 <= cfg.densify_until and it1 % cfg.densify_every == 0:

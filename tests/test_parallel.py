@@ -422,6 +422,103 @@ class TestShardedCoarse:
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+class TestShardedRefine:
+    def _mesh_scene(self, n_cams=4, h=24, w=24):
+        import jax.numpy as jnp
+        from scipy.spatial import ConvexHull
+
+        from sugar_tpu.core.cameras import Cameras, make_camera
+        from sugar_tpu.refine import bound as B
+
+        g = np.random.default_rng(17)
+        u = g.normal(size=(40, 3))
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        verts = (u * 0.8).astype(np.float32)
+        faces = ConvexHull(verts).simplices.astype(np.int64)
+        vc = g.uniform(0.2, 1.0, (len(verts), 3)).astype(np.float32)
+        params, bm = B.init_bound_params(
+            verts, faces, vc, n_gaussians_per_triangle=3, extent=3.0,
+            sh_degree=1,
+        )
+        # Break the s1==s2 / identity-rotation symmetry: a symmetric init
+        # gives complex_rot gradients that are pure float noise, and Adam
+        # amplifies their (reduction-order-dependent) sign to a full +-lr
+        # step — not a sharding bug, just a degenerate comparison point.
+        import dataclasses as _dc
+
+        g2 = np.random.default_rng(23)
+        ls = np.asarray(params.log_scales)
+        cr = np.asarray(params.complex_rot)
+        ang = g2.uniform(-0.5, 0.5, len(cr)).astype(np.float32)
+        params = _dc.replace(
+            params,
+            log_scales=jnp.asarray(
+                ls + g2.uniform(-0.5, 0.5, ls.shape).astype(np.float32)
+            ),
+            complex_rot=jnp.asarray(
+                np.stack([np.cos(ang), np.sin(ang)], -1)
+            ),
+        )
+        pairs = jnp.asarray(B.normal_consistency_pairs(faces))
+        cams = []
+        for i in range(n_cams):
+            th = 2 * np.pi * i / n_cams
+            fwd = -np.array([np.cos(th), 0.1, np.sin(th)])
+            fwd /= np.linalg.norm(fwd)
+            up = np.array([0.0, 1.0, 0.0])
+            right = np.cross(up, fwd)
+            right /= np.linalg.norm(right)
+            Rwc = np.stack([right, np.cross(fwd, right), fwd], 0)
+            cams.append(make_camera(R=Rwc.T, T=-Rwc @ (-fwd * 3), fov_x=1.0,
+                                    fov_y=1.0, height=h, width=w))
+        gts = jnp.asarray(g.uniform(0, 1, (n_cams, h, w, 3)).astype(np.float32))
+        return params, bm, pairs, Cameras.stack(cams), gts
+
+    def test_matches_single_device(self):
+        import jax.numpy as jnp
+
+        from sugar_tpu.parallel.mesh import make_mesh
+        from sugar_tpu.parallel.refine import (
+            make_sharded_refine_step,
+            shard_bound_state,
+        )
+        from sugar_tpu.refine.trainer import (
+            RefineConfig,
+            bound_lrs,
+            init_bound_adam,
+        )
+
+        params0, bm, pairs, cams, gts = self._mesh_scene()
+        cfg = RefineConfig(
+            num_iterations=1, n_gaussians_per_triangle=3, sh_degree=1,
+            k_max=256,
+        )
+        lrs = bound_lrs(cfg, spatial_lr_scale=1.0)
+        it = jnp.asarray(3, jnp.int32)
+
+        def run(mesh):
+            step = make_sharded_refine_step(
+                mesh, cfg, bm, pairs, lrs, active_sh_degree=1,
+                dup_capacity=8 * params0.opacity_logit.shape[0],
+            )
+            params, adam = shard_bound_state(
+                mesh, jax.tree.map(jnp.copy, params0),
+                init_bound_adam(params0),
+            )
+            data = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+            cams_s = jax.tree.map(lambda x: jax.device_put(x, data), cams)
+            gts_s = jax.device_put(gts, data)
+            new_params, _, aux = step(params, adam, cams_s, gts_s, it)
+            return jax.tree.map(np.asarray, new_params), float(aux["loss"])
+
+        p1, l1 = run(make_mesh(n_data=1, n_gauss=1, devices=jax.devices()[:1]))
+        p8, l8 = run(make_mesh(n_data=4, n_gauss=2, devices=jax.devices()[:8]))
+        assert np.isfinite(l1) and abs(l1 - l8) < 1e-4 * max(1.0, abs(l1))
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
 class TestShardedMeshing:
     def test_cloud_identical_1_vs_8_devices(self):
         import jax.numpy as jnp
