@@ -23,6 +23,13 @@ if __name__ == "__main__":
     p.add_argument("--eval", action="store_true", default=True)
     p.add_argument("--white_background", action="store_true")
     p.add_argument("--resolution", type=int, default=1)
+    p.add_argument("--devices", type=int, default=1,
+                   help="run training/meshing stages sharded over the first "
+                        "N jax devices (a ('data','gauss') mesh); 1 = "
+                        "single-device (reference train.py behavior)")
+    p.add_argument("--mesh_gauss", type=int, default=None,
+                   help="'gauss' axis size of the device mesh (default: 2 "
+                        "if --devices is even else 1)")
     args = p.parse_args()
 
     cfg = PipelineConfig(
@@ -35,6 +42,8 @@ if __name__ == "__main__":
         eval_split=args.eval,
         white_background=args.white_background,
         resolution_factor=args.resolution,
+        devices=args.devices,
+        mesh_gauss=args.mesh_gauss,
     )
     artifacts = run_full_pipeline(cfg)
     print("Artifacts:", artifacts)

@@ -107,3 +107,89 @@ def make_sharded_refine_step(
         return new_params, new_adam, aux
 
     return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def refined_training_sharded(
+    mesh: Mesh,
+    vertices,
+    faces,
+    vertex_colors,
+    cameras,
+    images,
+    extent: float,
+    cfg: RefineConfig,
+    seed: int = 0,
+    log_fn=None,
+) -> tuple[B.BoundParams, B.BoundMesh]:
+    """Multi-chip refinement loop over a ('data','gauss') mesh — the
+    distributed generalization of refine.trainer.refined_training (each
+    optimizer step consumes n_data views; iteration counting stays in
+    per-view units so SH warmup hits the reference schedule,
+    refine.py:553-587)."""
+    import time
+
+    import numpy as np
+
+    from sugar_tpu.refine.trainer import bound_lrs, init_bound_adam
+
+    n_data = mesh.shape["data"]
+    data = NamedSharding(mesh, P("data"))
+
+    params0, bm = B.init_bound_params(
+        vertices, faces, vertex_colors,
+        n_gaussians_per_triangle=cfg.n_gaussians_per_triangle,
+        extent=extent, sh_degree=cfg.sh_degree,
+    )
+    pairs = jnp.asarray(B.normal_consistency_pairs(np.asarray(faces)))
+    bbox_radius = 0.5 * float(
+        np.linalg.norm(np.asarray(vertices).max(0) - np.asarray(vertices).min(0))
+    )
+    spatial_lr_scale = 10.0 * bbox_radius / np.sqrt(max(len(vertices), 1))
+    lrs = bound_lrs(cfg, spatial_lr_scale)
+    params, adam = shard_bound_state(mesh, params0, init_bound_adam(params0))
+    dup_capacity = cfg.dup_capacity_mult * params0.opacity_logit.shape[0]
+
+    order_rng = np.random.default_rng(seed)
+    cam_order: list[int] = []
+    step_cache: dict = {}
+    t0 = time.time()
+
+    it = 0
+    while it < cfg.num_iterations:
+        deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
+        if deg not in step_cache:
+            step_cache[deg] = make_sharded_refine_step(
+                mesh, cfg, bm, pairs, lrs, deg, dup_capacity
+            )
+        batch_idx = []
+        while len(batch_idx) < n_data:
+            if not cam_order:
+                cam_order = list(order_rng.permutation(len(cameras)))
+            batch_idx.append(cam_order.pop())
+        from sugar_tpu.core.cameras import Cameras
+
+        cams = jax.tree.map(
+            lambda x: jax.device_put(x, data),
+            Cameras.stack([cameras[i] for i in batch_idx]),
+        )
+        gts = jax.device_put(
+            jnp.asarray(np.stack([np.asarray(images[i]) for i in batch_idx])),
+            data,
+        )
+        params, adam, aux = step_cache[deg](
+            params, adam, cams, gts, jnp.asarray(it, jnp.int32)
+        )
+        it += n_data
+        if log_fn and ((it % max(cfg.log_every, 1)) < n_data):
+            log_fn(
+                dict(
+                    iter=it,
+                    loss=float(aux["loss"]),
+                    psnr=float(aux["psnr"]),
+                    elapsed_s=time.time() - t0,
+                    mesh=str(dict(mesh.shape)),
+                )
+            )
+
+    params = jax.tree.map(lambda x: jnp.asarray(x), params)
+    return params, bm

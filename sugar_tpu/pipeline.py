@@ -50,6 +50,13 @@ class PipelineConfig:
     # their artifact exists, and each stage saves/resumes mid-stage
     # milestones under <output_dir>/checkpoints/<stage>.
     resume: bool = True
+    # Multi-chip execution (SURVEY.md §2.9): devices > 1 routes the
+    # vanilla / coarse / meshing / refine stages through the sharded
+    # parallel/ components over a ('data','gauss') jax.sharding.Mesh.
+    # The reference has no distributed analog (train.py is single-GPU);
+    # stage artifacts keep the same format either way.
+    devices: int = 1
+    mesh_gauss: int | None = None  # None = 2 if devices even else 1
     # Optional stage-config overrides (tests / experimentation).
     vanilla_overrides: dict = dataclasses.field(default_factory=dict)
     coarse_overrides: dict = dataclasses.field(default_factory=dict)
@@ -67,6 +74,23 @@ class PipelineConfig:
     @property
     def refinement_iterations(self) -> int:
         return {"short": 2_000, "medium": 7_000, "long": 15_000}[self.refinement_time]
+
+
+def pipeline_mesh(cfg: PipelineConfig):
+    """The pipeline's device mesh, or None for single-device execution."""
+    if cfg.devices <= 1:
+        return None
+    from sugar_tpu.parallel.mesh import make_mesh
+
+    n_gauss = cfg.mesh_gauss
+    if n_gauss is None:
+        n_gauss = 2 if cfg.devices % 2 == 0 else 1
+    import jax
+
+    return make_mesh(
+        n_data=cfg.devices // n_gauss, n_gauss=n_gauss,
+        devices=jax.devices()[: cfg.devices],
+    )
 
 
 def load_scene(cfg: PipelineConfig) -> ds.SceneData:
@@ -102,21 +126,37 @@ def run_vanilla(
     )
     tkw.update(cfg.vanilla_overrides)
     tcfg = TrainConfig(**tkw)
-    state = train_vanilla_3dgs(
-        [scene.cameras[i] for i in train_idx],
-        [scene.images[i] for i in train_idx],
-        scene.points,
-        scene.colors,
-        extent=scene.extent,
-        cfg=tcfg,
-        log_fn=lambda d: log_fn(json.dumps(d)),
-        checkpoint_dir=_stage_ckpt_dir(cfg, "vanilla"),
-        resume=cfg.resume,
-        network_gui=network_gui,
-        source_path=cfg.scene_path,
-    )
+    mesh = pipeline_mesh(cfg)
+    if mesh is not None:
+        from sugar_tpu.parallel.trainer import train_vanilla_sharded
+
+        model = train_vanilla_sharded(
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            scene.points,
+            scene.colors,
+            extent=scene.extent,
+            cfg=tcfg,
+            n_data=mesh.shape["data"],
+            n_gauss=mesh.shape["gauss"],
+            log_fn=lambda d: log_fn(json.dumps(d)),
+        )
+    else:
+        model = train_vanilla_3dgs(
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            scene.points,
+            scene.colors,
+            extent=scene.extent,
+            cfg=tcfg,
+            log_fn=lambda d: log_fn(json.dumps(d)),
+            checkpoint_dir=_stage_ckpt_dir(cfg, "vanilla"),
+            resume=cfg.resume,
+            network_gui=network_gui,
+            source_path=cfg.scene_path,
+        ).model
     os.makedirs(out_dir, exist_ok=True)
-    gm.save_ply(state.model, ckpt)
+    gm.save_ply(model, ckpt)
     ds.save_cameras_json(
         os.path.join(cfg.output_dir, "vanilla_gs", "cameras.json"),
         scene.cameras,
@@ -137,16 +177,30 @@ def run_coarse(cfg: PipelineConfig, scene: ds.SceneData, gs_ckpt: str, log_fn=pr
     ckw = dict(mode=mode, white_background=cfg.white_background)
     ckw.update(cfg.coarse_overrides)
     ccfg = CoarseConfig(**ckw)
-    model = train_coarse(
-        model,
-        [scene.cameras[i] for i in train_idx],
-        [scene.images[i] for i in train_idx],
-        extent=scene.extent,
-        cfg=ccfg,
-        log_fn=lambda d: log_fn(json.dumps(d)),
-        checkpoint_dir=_stage_ckpt_dir(cfg, "coarse"),
-        resume=cfg.resume,
-    )
+    mesh = pipeline_mesh(cfg)
+    if mesh is not None:
+        from sugar_tpu.parallel.coarse import train_coarse_sharded
+
+        model = train_coarse_sharded(
+            mesh,
+            model,
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            extent=scene.extent,
+            cfg=ccfg,
+            log_fn=lambda d: log_fn(json.dumps(d)),
+        )
+    else:
+        model = train_coarse(
+            model,
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            extent=scene.extent,
+            cfg=ccfg,
+            log_fn=lambda d: log_fn(json.dumps(d)),
+            checkpoint_dir=_stage_ckpt_dir(cfg, "coarse"),
+            resume=cfg.resume,
+        )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     gm.save_ply(model, out)
     return out
@@ -177,8 +231,10 @@ def run_extract_mesh(cfg: PipelineConfig, scene: ds.SceneData, coarse_ckpt: str,
         f"mesh_level{cfg.surface_level}_decim{cfg.n_vertices_in_mesh}.ply",
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    mesh = pipeline_mesh(cfg)
     extract_mesh_from_coarse_model(
-        model, [scene.cameras[i] for i in train_idx], ecfg, output_path=out
+        model, [scene.cameras[i] for i in train_idx], ecfg, output_path=out,
+        device_mesh=mesh,
     )
     return out
 
@@ -205,18 +261,34 @@ def run_refine(cfg: PipelineConfig, scene: ds.SceneData, mesh_path: str, log_fn=
     )
     rkw.update(cfg.refine_overrides)
     rcfg = RefineConfig(**rkw)
-    params, bm = refined_training(
-        verts,
-        faces.astype(np.int64),
-        vc,
-        [scene.cameras[i] for i in train_idx],
-        [scene.images[i] for i in train_idx],
-        extent=scene.extent,
-        cfg=rcfg,
-        log_fn=lambda d: log_fn(json.dumps(d)),
-        checkpoint_dir=_stage_ckpt_dir(cfg, "refine"),
-        resume=cfg.resume,
-    )
+    mesh = pipeline_mesh(cfg)
+    if mesh is not None:
+        from sugar_tpu.parallel.refine import refined_training_sharded
+
+        params, bm = refined_training_sharded(
+            mesh,
+            verts,
+            faces.astype(np.int64),
+            vc,
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            extent=scene.extent,
+            cfg=rcfg,
+            log_fn=lambda d: log_fn(json.dumps(d)),
+        )
+    else:
+        params, bm = refined_training(
+            verts,
+            faces.astype(np.int64),
+            vc,
+            [scene.cameras[i] for i in train_idx],
+            [scene.images[i] for i in train_idx],
+            extent=scene.extent,
+            cfg=rcfg,
+            log_fn=lambda d: log_fn(json.dumps(d)),
+            checkpoint_dir=_stage_ckpt_dir(cfg, "refine"),
+            resume=cfg.resume,
+        )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     export_refined_ply(params, bm, out)
     # Also persist the refined mesh + params for texture extraction.

