@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sugar_tpu.raster import common as rc
+from sugar_tpu.raster.fused import expand_support_culled
 from sugar_tpu.raster.pallas_composite import C_CHUNK, R_MY, tile_composite
 from sugar_tpu.raster.pallas_render import gather_dup_searchsorted, pack_params
 from sugar_tpu.raster.preprocess import preprocess
@@ -119,6 +120,8 @@ def render_sharded(
     route_cap: int | None = None,
     k_max: int = 8192,
     use_kernel: bool | str = "auto",
+    cap_a: int = 4,
+    big_cap: int | None = None,
 ) -> dict[str, Any]:
     """Render one view with Gaussians and image-tile bands sharded over
     ``axis`` of ``mesh``. Inputs are (N, ...) global arrays (sharded or
@@ -182,31 +185,29 @@ def render_sharded(
         packed_l = pack_params(prep.mean2d, prep.conic, prep.opacity, prep.color)
         packed = jax.lax.all_gather(packed_l, axis, axis=1, tiled=True)
 
-        # (3) dense local expansion -> (tile, depth, gid) dup entries.
-        counts = jnp.minimum(prep.tiles_touched, tile_cap)
-        # Rect tiles beyond tile_cap are dropped silently by the min();
-        # count them so callers can re-jit with a larger cap (same
-        # protocol as bin_gaussians_dense's overflow).
-        tile_cap_overflow = jnp.sum(
-            jnp.maximum(prep.tiles_touched - tile_cap, 0)
+        # (3) fused bucketed local expansion with exact-support culling
+        # (raster.fused): cap_a slots per Gaussian + big_cap wide rows for
+        # large rects, and tiles whose pixel box cannot reach alpha >=
+        # 1/255 are culled before routing — the r4 single-chip layout,
+        # shrinking both the local sorts and the all_to_all traffic at
+        # identical output/gradient semantics. Payload = float depth (the
+        # cross-device merge key; a per-shard depth rank would not be
+        # globally consistent).
+        big_cap_l = big_cap
+        if big_cap_l is None:
+            big_cap_l = n_loc if n_loc < 65536 else max(n_loc // 8, 65536)
+        tile_e, depth_e, gid_l, _cc, _nr, big_ovf = expand_support_culled(
+            jax.lax.stop_gradient(prep), num_tiles, tiles_x, tile_cap,
+            cap_a, big_cap_l, jax.lax.stop_gradient(prep.depth),
         )
-        j = jnp.arange(tile_cap, dtype=jnp.int32)[None, :]
-        w = jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1)[:, None]
-        ty_off = jnp.floor(j.astype(jnp.float32) / w.astype(jnp.float32)).astype(
-            jnp.int32
+        # Local -> global Gaussian ids (sentinel n_loc -> global n).
+        gid_e = jnp.where(gid_l < n_loc, sidx * n_loc + gid_l, n)
+        # Rect tiles beyond tile_cap / big rows beyond big_cap are dropped;
+        # count them so callers can re-jit with larger caps (same protocol
+        # as the single-chip fused path).
+        tile_cap_overflow = (
+            jnp.sum(jnp.maximum(prep.tiles_touched - tile_cap, 0)) + big_ovf
         )
-        tx_off = j - ty_off * w
-        tile_e = (prep.rect_min[:, 1][:, None] + ty_off) * tiles_x + (
-            prep.rect_min[:, 0][:, None] + tx_off
-        )
-        tile_e = jnp.where(j < counts[:, None], tile_e, num_tiles).reshape(-1)
-        gid_e = jnp.broadcast_to(
-            sidx * n_loc + jnp.arange(n_loc, dtype=jnp.int32)[:, None],
-            (n_loc, tile_cap),
-        ).reshape(-1)
-        depth_e = jnp.broadcast_to(
-            jax.lax.stop_gradient(prep.depth)[:, None], (n_loc, tile_cap)
-        ).reshape(-1)
 
         # Group by destination band (bands are contiguous tile-id ranges).
         tile_s, depth_s, gid_s = jax.lax.sort(

@@ -112,6 +112,119 @@ def _slot_valid(tx, ty, j, counts, mx, my, ca, cb, cc, qmax):
     return in_rect & (qmin <= qmax + _Q_EPS)
 
 
+def expand_support_culled(
+    prep: Preprocessed,
+    num_tiles: int,
+    tiles_x: int,
+    tile_cap: int,
+    cap_a: int,
+    big_cap: int,
+    payload: jnp.ndarray,  # (N,) float32 per-Gaussian sort payload
+):
+    """Bucketed, exact-support-culled dup expansion (see module docstring).
+
+    Shared by the single-chip fused path (payload = depth rank) and the
+    multi-chip tile-sharded path (payload = float depth, parallel/render).
+    Returns (tile_e, pay_e, gid_e (E,), counts_culled (N,), num_rendered (),
+    big_overflow ()) with sentinel tile = num_tiles / gid = n on invalid
+    slots. ``payload`` must be exactly representable in f32 (it round-trips
+    the bucket-B compaction stack)."""
+    n = prep.tiles_touched.shape[0]
+    # Integer fields round-trip through an f32 stack (bucket-B compaction)
+    # and _slot_tiles uses an f32 divide: both exact only below 2^24.
+    assert n < 2**24, f"fused binning supports < 2^24 Gaussians, got {n}"
+    cap_a = min(cap_a, tile_cap)
+    big_cap = min(big_cap, n)
+    cap_b = tile_cap - cap_a
+
+    mean2d = prep.mean2d
+    conic = prep.conic
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
+    qmax = jnp.log(jnp.maximum(prep.opacity, 1e-30) / rc.ALPHA_CUTOFF)
+    counts = jnp.minimum(prep.tiles_touched, tile_cap).astype(jnp.int32)
+    rmin_x, rmin_y = prep.rect_min[:, 0], prep.rect_min[:, 1]
+    rect_w = jnp.maximum(prep.rect_max[:, 0] - rmin_x, 1)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    # --- exact-support validity over the FULL capped rect, original order:
+    # per-Gaussian culled counts = the backward's exact segment sizes.
+    j_full = jnp.arange(tile_cap, dtype=jnp.int32)[:, None]
+    txf, tyf = _slot_tiles(rmin_x[None, :], rmin_y[None, :], rect_w[None, :], j_full)
+    valid_full = _slot_valid(
+        txf, tyf, j_full, counts[None, :], mx[None, :], my[None, :],
+        ca[None, :], cb[None, :], cc[None, :], qmax[None, :],
+    )
+    counts_culled = jnp.sum(valid_full, axis=0, dtype=jnp.int32)
+    num_rendered = jnp.sum(counts_culled)
+
+    # --- bucket A: every Gaussian owns cap_a slots (leading slot axis).
+    tile_a = jnp.where(
+        valid_full[:cap_a], tyf[:cap_a] * tiles_x + txf[:cap_a], num_tiles
+    )
+    gid_a = jnp.where(valid_full[:cap_a], iota[None, :], n)
+    pay_a = jnp.broadcast_to(payload[None, :], (cap_a, n))
+
+    parts_tile = [tile_a.reshape(-1)]
+    parts_pay = [pay_a.reshape(-1)]
+    parts_gid = [gid_a.reshape(-1)]
+
+    big_overflow = jnp.zeros((), jnp.int32)
+    if cap_b > 0 and big_cap > 0:
+        # --- bucket B: Gaussians with rect > cap_a tiles, compacted into
+        # big_cap rows: a 2-operand partition sort finds them, then ONE
+        # narrow column gather (big_cap lookups, ~free at big_cap << n)
+        # pulls their rect/conic rows.
+        is_big = counts > cap_a
+        bkey = jnp.where(is_big, 0, 1).astype(jnp.int32)
+        _, big_iota = jax.lax.sort((bkey, iota), dimension=0, num_keys=1,
+                                   is_stable=True)
+        b_iota = big_iota[:big_cap]
+        brows = jnp.stack(
+            [payload, counts.astype(jnp.float32),
+             rmin_x.astype(jnp.float32), rmin_y.astype(jnp.float32),
+             rect_w.astype(jnp.float32), mx, my, ca, cb, cc, qmax]
+        )[:, b_iota]  # (11, big_cap)
+        b_pay = brows[0]
+        b_counts = brows[1].astype(jnp.int32)
+        b_rx = brows[2].astype(jnp.int32)
+        b_ry = brows[3].astype(jnp.int32)
+        b_rw = brows[4].astype(jnp.int32)
+        b_mx, b_my, b_ca, b_cb, b_cc, b_qmax = brows[5:11]
+        # Rows beyond the real big count are small Gaussians (counts <=
+        # cap_a): their j >= cap_a slots fail the in_rect test => invalid.
+        j_b = cap_a + jnp.arange(cap_b, dtype=jnp.int32)[:, None]
+        txb, tyb = _slot_tiles(b_rx[None, :], b_ry[None, :], b_rw[None, :], j_b)
+        valid_b = _slot_valid(
+            txb, tyb, j_b, b_counts[None, :], b_mx[None, :], b_my[None, :],
+            b_ca[None, :], b_cb[None, :], b_cc[None, :], b_qmax[None, :],
+        )
+        parts_tile.append(
+            jnp.where(valid_b, tyb * tiles_x + txb, num_tiles).reshape(-1)
+        )
+        parts_pay.append(
+            jnp.broadcast_to(b_pay[None, :], (cap_b, big_cap)).reshape(-1)
+        )
+        parts_gid.append(jnp.where(valid_b, b_iota[None, :], n).reshape(-1))
+        # Big Gaussians that did not fit in big_cap rows lose their j >=
+        # cap_a slots: count them (their A slots remain, so counts_culled
+        # no longer matches the emitted multiset -> grads inexact).
+        # Kept rows beyond the true big count are small Gaussians whose
+        # excess-over-cap_a is 0, so the difference needs no masking.
+        excess_all = jnp.sum(jnp.maximum(counts - cap_a, 0))
+        excess_kept = jnp.sum(jnp.maximum(b_counts - cap_a, 0))
+        big_overflow = excess_all - excess_kept
+
+    return (
+        jnp.concatenate(parts_tile),
+        jnp.concatenate(parts_pay),
+        jnp.concatenate(parts_gid),
+        counts_culled,
+        num_rendered,
+        big_overflow,
+    )
+
+
 def bin_fused(
     prep: Preprocessed,
     num_tiles: int,
@@ -133,32 +246,8 @@ def bin_fused(
     segment offsets would be wrong; the gather_dup backward then returns
     zeros and the auto-grow protocol re-renders)."""
     n = prep.tiles_touched.shape[0]
-    # Integer fields round-trip through an f32 stack (bucket-B compaction)
-    # and _slot_tiles uses an f32 divide: both exact only below 2^24.
-    assert n < 2**24, f"bin_fused supports < 2^24 Gaussians, got {n}"
     cap_a = min(cap_a, tile_cap)
     big_cap = min(big_cap, n)
-    cap_b = tile_cap - cap_a
-
-    mean2d = prep.mean2d
-    conic = prep.conic
-    mx, my = mean2d[:, 0], mean2d[:, 1]
-    ca, cb, cc = conic[:, 0], conic[:, 1], conic[:, 2]
-    qmax = jnp.log(jnp.maximum(prep.opacity, 1e-30) / rc.ALPHA_CUTOFF)
-    counts = jnp.minimum(prep.tiles_touched, tile_cap).astype(jnp.int32)
-    rmin_x, rmin_y = prep.rect_min[:, 0], prep.rect_min[:, 1]
-    rect_w = jnp.maximum(prep.rect_max[:, 0] - rmin_x, 1)
-
-    # --- exact-support validity over the FULL capped rect, original order:
-    # per-Gaussian culled counts = the backward's exact segment sizes.
-    j_full = jnp.arange(tile_cap, dtype=jnp.int32)[:, None]
-    txf, tyf = _slot_tiles(rmin_x[None, :], rmin_y[None, :], rect_w[None, :], j_full)
-    valid_full = _slot_valid(
-        txf, tyf, j_full, counts[None, :], mx[None, :], my[None, :],
-        ca[None, :], cb[None, :], cc[None, :], qmax[None, :],
-    )
-    counts_culled = jnp.sum(valid_full, axis=0, dtype=jnp.int32)
-    num_rendered = jnp.sum(counts_culled)
 
     # --- depth rank per Gaussian (original order): two N-key sorts.
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -167,66 +256,13 @@ def bin_fused(
     _, rank = jax.lax.sort((gsort, iota), dimension=0, num_keys=1,
                            is_stable=False)
 
-    # --- bucket A: every Gaussian owns cap_a slots (leading slot axis).
-    tile_a = jnp.where(
-        valid_full[:cap_a], tyf[:cap_a] * tiles_x + txf[:cap_a], num_tiles
+    tile_e, pay_e, gid_e, counts_culled, num_rendered, big_overflow = (
+        expand_support_culled(
+            prep, num_tiles, tiles_x, tile_cap, cap_a, big_cap,
+            rank.astype(jnp.float32),
+        )
     )
-    gid_a = jnp.where(valid_full[:cap_a], iota[None, :], n)
-    rank_a = jnp.broadcast_to(rank[None, :], (cap_a, n))
-
-    parts_tile = [tile_a.reshape(-1)]
-    parts_rank = [rank_a.reshape(-1)]
-    parts_gid = [gid_a.reshape(-1)]
-
-    big_overflow = jnp.zeros((), jnp.int32)
-    if cap_b > 0 and big_cap > 0:
-        # --- bucket B: Gaussians with rect > cap_a tiles, compacted into
-        # big_cap rows: a 2-operand partition sort finds them, then ONE
-        # narrow column gather (big_cap lookups, ~free at big_cap << n)
-        # pulls their rect/conic rows.
-        is_big = counts > cap_a
-        bkey = jnp.where(is_big, 0, 1).astype(jnp.int32)
-        _, big_iota = jax.lax.sort((bkey, iota), dimension=0, num_keys=1,
-                                   is_stable=True)
-        b_iota = big_iota[:big_cap]
-        brows = jnp.stack(
-            [rank.astype(jnp.float32), counts.astype(jnp.float32),
-             rmin_x.astype(jnp.float32), rmin_y.astype(jnp.float32),
-             rect_w.astype(jnp.float32), mx, my, ca, cb, cc, qmax]
-        )[:, b_iota]  # (11, big_cap)
-        b_rank = brows[0].astype(jnp.int32)
-        b_counts = brows[1].astype(jnp.int32)
-        b_rx = brows[2].astype(jnp.int32)
-        b_ry = brows[3].astype(jnp.int32)
-        b_rw = brows[4].astype(jnp.int32)
-        b_mx, b_my, b_ca, b_cb, b_cc, b_qmax = brows[5:11]
-        # Rows beyond the real big count are small Gaussians (counts <=
-        # cap_a): their j >= cap_a slots fail the in_rect test => invalid.
-        j_b = cap_a + jnp.arange(cap_b, dtype=jnp.int32)[:, None]
-        txb, tyb = _slot_tiles(b_rx[None, :], b_ry[None, :], b_rw[None, :], j_b)
-        valid_b = _slot_valid(
-            txb, tyb, j_b, b_counts[None, :], b_mx[None, :], b_my[None, :],
-            b_ca[None, :], b_cb[None, :], b_cc[None, :], b_qmax[None, :],
-        )
-        parts_tile.append(
-            jnp.where(valid_b, tyb * tiles_x + txb, num_tiles).reshape(-1)
-        )
-        parts_rank.append(
-            jnp.broadcast_to(b_rank[None, :], (cap_b, big_cap)).reshape(-1)
-        )
-        parts_gid.append(jnp.where(valid_b, b_iota[None, :], n).reshape(-1))
-        # Big Gaussians that did not fit in big_cap rows lose their j >=
-        # cap_a slots: count them (their A slots remain, so counts_culled
-        # no longer matches the emitted multiset -> grads inexact).
-        # Kept rows beyond the true big count are small Gaussians whose
-        # excess-over-cap_a is 0, so the difference needs no masking.
-        excess_all = jnp.sum(jnp.maximum(counts - cap_a, 0))
-        excess_kept = jnp.sum(jnp.maximum(b_counts - cap_a, 0))
-        big_overflow = excess_all - excess_kept
-
-    tile_e = jnp.concatenate(parts_tile)
-    rank_e = jnp.concatenate(parts_rank)
-    gid_e = jnp.concatenate(parts_gid)
+    rank_e = pay_e.astype(jnp.int32)
 
     # --- THE sort: [tile | depth-rank] fused into one unique int32 key
     # when the bits fit, else two int keys; (tile, rank) pairs are unique
@@ -274,7 +310,9 @@ def bin_fused(
         overflow=rect_overflow + big_overflow + cap_overflow,
         inexact=big_overflow + cap_overflow,
         big_overflow=big_overflow,
-        num_big=jnp.sum((counts > cap_a).astype(jnp.int32)),
+        num_big=jnp.sum(
+            (jnp.minimum(prep.tiles_touched, tile_cap) > cap_a).astype(jnp.int32)
+        ),
     )
 
 
