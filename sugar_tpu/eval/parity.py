@@ -106,7 +106,6 @@ def make_parity_scene(
     """GT model + SceneData with rendered GT images and a degraded init."""
     import jax.numpy as jnp
 
-    from sugar_tpu.models.render import render_model
     from sugar_tpu.raster import adaptive
 
     target = make_gt_model(n_gt, seed=seed)
@@ -117,12 +116,10 @@ def make_parity_scene(
         dup_capacity=dup_capacity if dup_capacity is not None else 8 * n_gt,
         k_max=k_max,
     )
+    # Exact (overflow-free) GT renders via the jitted auto-grow protocol.
+    render = _adaptive_renderer(target, render_mode, caps)
     for cam in cams:
-        # Exact (overflow-free) GT renders via the auto-grow protocol.
-        out, caps = adaptive.render_adaptive(
-            lambda **kw: render_model(target, cam, mode=render_mode, **kw),
-            caps,
-        )
+        out = render(cam)
         images.append(np.asarray(jnp.clip(out["image"], 0.0, 1.0)))
 
     # Degraded init: noisy subsample with flat gray colors — what a sparse
@@ -147,6 +144,44 @@ def make_parity_scene(
     return scene, target
 
 
+
+def _adaptive_renderer(model, mode: str, caps):
+    """Jitted adaptive renderer: one jit specialization per caps value,
+    shared across cameras (eager dispatch is prohibitively slow over the
+    tunneled TPU backend). Returns render(camera) -> output dict with all
+    overflow counters zero (grows caps and re-jits otherwise)."""
+    import functools
+
+    import jax
+
+    from sugar_tpu.models.render import render_model
+    from sugar_tpu.raster import adaptive
+
+    jits: dict = {}
+    state = {"caps": caps}
+
+    def render(camera):
+        for _ in range(8):
+            c = state["caps"]
+            key = (c.tile_cap, c.dup_capacity, c.k_max, c.cap_a, c.big_cap)
+            if key not in jits:
+                jits[key] = jax.jit(
+                    functools.partial(
+                        render_model, mode=mode, tile_cap=c.tile_cap,
+                        dup_capacity=c.dup_capacity, k_max=c.k_max,
+                        cap_a=c.cap_a, big_cap=c.big_cap,
+                    )
+                )
+            out = jits[key](model, camera)
+            ovf = adaptive.read_overflow(out)
+            if not adaptive.overflowed(ovf):
+                return out
+            state["caps"] = c.grown(ovf)
+        raise RuntimeError(f"capacity growth did not converge: {ovf}")
+
+    return render
+
+
 def eval_gaussian_ply(
     ply_path: str,
     scene: SceneData,
@@ -163,29 +198,17 @@ def eval_gaussian_ply(
     Gaussians/triangle can exceed a fixed k_max and lose PSNR to clipping).
     ``dup_capacity``/``k_max`` are starting capacities only."""
     from sugar_tpu.eval.metrics import evaluate_renders
-    from sugar_tpu.models.render import render_model
     from sugar_tpu.raster import adaptive
 
     model = gm.load_ply(ply_path)
     if dup_capacity is None:
         dup_capacity = 8 * model.capacity
-    cap_box = {
-        "caps": adaptive.RasterCaps(
-            tile_cap=16, dup_capacity=dup_capacity, k_max=k_max
-        )
-    }
+    render = _adaptive_renderer(
+        model, render_mode,
+        adaptive.RasterCaps(tile_cap=16, dup_capacity=dup_capacity, k_max=k_max),
+    )
 
     def render_fn(i):
-        def _render(**caps_kw):
-            return render_model(
-                model, scene.cameras[i], mode=render_mode, **caps_kw
-            )
-
-        out, cap_box["caps"] = adaptive.render_adaptive(
-            _render, cap_box["caps"]
-        )
-        ovf = adaptive.read_overflow(out)
-        assert not adaptive.overflowed(ovf), ovf
-        return out["image"]
+        return render(scene.cameras[i])["image"]
 
     return evaluate_renders(render_fn, scene.images, indices)

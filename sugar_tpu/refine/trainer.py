@@ -275,8 +275,6 @@ def refined_training(
     prev_aux = None
 
     for it in range(start_iteration, cfg.num_iterations):
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
         deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
         skey = (deg, cap_state.key())
         if skey not in step_cache:
@@ -287,6 +285,9 @@ def refined_training(
         params, adam, aux = step_cache[skey](
             params, adam, cameras[ci], jnp.asarray(images[ci]), jnp.asarray(it, jnp.int32)
         )
+        # Lagged overflow check after dispatch (readback overlaps compute).
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
         prev_aux = aux
         if checkpoint_dir and (it + 1) in cfg.checkpoint_iterations:
             ckpt.save_milestone(

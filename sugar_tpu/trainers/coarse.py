@@ -417,8 +417,6 @@ def train_coarse(
 
     for it in range(start_iteration, cfg.num_iterations):
         iteration = it + 1  # reference counts from 1 (coarse_sdf.py:468)
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
 
         with_entropy = cfg.entropy_start < iteration < cfg.entropy_end
         with_sdf = iteration > cfg.start_sdf_estimation_from
@@ -444,6 +442,9 @@ def train_coarse(
             params, alive, adam, knn_idx, scene_cameras[ci],
             jnp.asarray(scene_images[ci]), jnp.asarray(it, jnp.int32), sub,
         )
+        # Lagged overflow check after dispatch (readback overlaps compute).
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
         prev_aux = aux
 
         if iteration in cfg.prune_at:

@@ -207,8 +207,6 @@ def train_vanilla_3dgs(
                 training_done=False,
                 source_path=source_path,
             )
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
         active_deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
         skey = (active_deg, cap_state.key())
         if skey not in step_cache:
@@ -220,6 +218,12 @@ def train_vanilla_3dgs(
         params, adam, stats, aux = step_cache[skey](
             params, alive, adam, stats, cam, gt, jnp.asarray(it, jnp.int32)
         )
+        # Lagged overflow check AFTER dispatching this step: the host fetch
+        # of the previous step's counters overlaps device execution (the
+        # device never idles on the readback RTT). A grown cap takes
+        # effect from the next iteration (CapState's documented lag).
+        if prev_aux is not None and cap_state.observe(prev_aux):
+            step_cache.clear()
         prev_aux = aux
 
         it1 = it + 1
