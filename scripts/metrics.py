@@ -48,10 +48,19 @@ if __name__ == "__main__":
     results = {}
 
     if args.checkpoint:
+        from sugar_tpu.eval.parity import _adaptive_renderer
+        from sugar_tpu.raster import adaptive
+
         model = gm.load_ply(args.checkpoint)
+        render = _adaptive_renderer(
+            model, "auto",
+            adaptive.RasterCaps(
+                tile_cap=16, dup_capacity=8 * model.capacity, k_max=1024
+            ),
+        )
 
         def render_fn(i):
-            return render_model(model, scene.cameras[i])["image"]
+            return render(scene.cameras[i])["image"]
 
         results["gaussians"] = evaluate_renders(
             render_fn, scene.images, test_idx, args.lpips_weights
@@ -65,25 +74,42 @@ if __name__ == "__main__":
         params, bm = load_refined_state(args.refined_state)
         sh_degree = int(round(np.sqrt(params.sh_rest.shape[-1] + 1))) - 1
         bg = jnp.full((3,), 1.0 if args.white_background else 0.0, jnp.float32)
-        # Size the duplication buffer from the model like refined_training
-        # does (8 entries/Gaussian): a fixed 2**21 overflows for low_poly
-        # models (~2.4M bound Gaussians) and silently drops primitives.
+        # Adaptive no-clipping protocol (eval/parity): start from
+        # model-sized caps and grow until every overflow counter is zero,
+        # so metrics can never understate quality to silent clipping.
+        import functools
+
+        import jax
+
+        from sugar_tpu.raster import adaptive
+
         n_bound = int(params.opacity_logit.shape[0])
-        dup_cap = max(2**21, 8 * n_bound)
+        caps_box = {
+            "caps": adaptive.RasterCaps(
+                tile_cap=16, dup_capacity=max(2**21, 8 * n_bound), k_max=1024
+            )
+        }
+        jits = {}
 
         def render_refined(i):
-            out = render_bound(
-                params, bm, scene.cameras[i], sh_degree, bg, dup_cap, 1024
-            )
-            ovf = int(out.get("bin_overflow", 0))
-            if ovf > 0:
-                print(
-                    f"WARNING: refined render view {i}: bin_overflow={ovf} "
-                    "duplications dropped — metrics understate quality; "
-                    "re-run with a larger capacity",
-                    file=_sys.stderr,
-                )
-            return out["image"]
+            for _ in range(8):
+                c = caps_box["caps"]
+                key = (c.tile_cap, c.dup_capacity, c.k_max, c.cap_a, c.big_cap)
+                if key not in jits:
+                    jits[key] = jax.jit(
+                        functools.partial(
+                            render_bound, active_sh_degree=sh_degree, bg=bg,
+                            dup_capacity=c.dup_capacity, k_max=c.k_max,
+                            tile_cap=c.tile_cap, cap_a=c.cap_a,
+                            big_cap=c.big_cap,
+                        )
+                    )
+                out = jits[key](params, bm, scene.cameras[i])
+                ovf = adaptive.read_overflow(out)
+                if not adaptive.overflowed(ovf):
+                    return out["image"]
+                caps_box["caps"] = c.grown(ovf)
+            raise RuntimeError(f"capacity growth did not converge: {ovf}")
 
         results["refined"] = evaluate_renders(
             render_refined, scene.images, test_idx, args.lpips_weights

@@ -77,12 +77,12 @@ def main() -> None:
     cfg = PipelineConfig(
         scene_path="<procedural>",
         output_dir=args.workdir,
+        resume=True,  # completed stages skip on relaunch (artifacts on disk)
         regularization="sdf",
         poly="low_poly",
         eval_split=True,
         capacity=capacity,
         vanilla_iterations=vanilla_iters,
-        resume=False,
         vanilla_overrides=dict(
             sh_degree=1,
             sh_warmup_every=max(1, vanilla_iters // 3),

@@ -73,9 +73,19 @@ class RasterCaps:
         # bin_overflow folds all three truncations; the per-gaussian rect
         # part is what max_tiles_touched sizes.
         rect = ovf.get("bin_overflow", 0) - ovf.get("cap_overflow", 0) - big
-        if rect > 0:
-            tile_cap = _next_pow2(max(ovf["max_tiles_touched"], tile_cap + 1))
         big_cap = self.big_cap
+        if rect > 0:
+            # Round to 16, not pow2: the fused expansion costs
+            # (tile_cap - cap_a) * big_cap slots, so a pow2 overshoot of a
+            # single large splat (e.g. 144 -> 256 tiles) can inflate the
+            # bucket-B expansion by tens of millions of slots.
+            tile_cap = _round_up(max(ovf["max_tiles_touched"], tile_cap + 1), 16)
+            if big_cap is None and "num_big" in ovf:
+                # Pin bucket-B rows to the observed big-Gaussian count
+                # (x2 slack) instead of render_fused's n-derived default —
+                # a wide tile_cap with an n/8 big_cap is exactly the
+                # slot-explosion case above.
+                big_cap = _next_pow2(max(2 * ovf["num_big"], 1024))
         if big > 0:
             # Grow the bucket-B row count toward the observed number of
             # Gaussians whose rect exceeds cap_a (ADVICE r4: big_cap must
