@@ -150,7 +150,12 @@ def _chunk_alpha(data_s, px, py, slot0, start, end):
     b = data_s[R_CB : R_CB + 1, :]
     cc = data_s[R_CC : R_CC + 1, :]
     power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
-    e = jnp.exp(jnp.minimum(power, 0.0))
+    # where(), not min(): a non-finite power on a gated slot (NaN conic
+    # from a poisoned-but-culled Gaussian) would make e NaN, and the
+    # backward's 0 * e products would scatter NaN into otherwise-finite
+    # gradients. Valid slots always have power <= 0 here, so values and
+    # gradients are unchanged for every contributing slot.
+    e = jnp.exp(jnp.where(power <= 0.0, power, 0.0))
     raw = data_s[R_OP : R_OP + 1, :] * e
     alpha = jnp.minimum(rc.ALPHA_CLAMP, raw)
     slot = slot0 + jax.lax.broadcasted_iota(jnp.int32, (1, C_CHUNK), 1)
@@ -336,8 +341,15 @@ def _bwd_kernel(
         wc = w * cdotg
         suffix = _suffix1(wc) + sdotg_in
         one_m_a = jnp.maximum(1.0 - a_eff, 1.0 - rc.ALPHA_CLAMP)
-        active = (a_eff > 0.0).astype(jnp.float32)
+        act_b = a_eff > 0.0
+        active = act_b.astype(jnp.float32)
         dalpha = (t_in * cdotg - suffix / one_m_a) * active  # (P, C)
+
+        def gated(x):
+            # Inactive slots contribute exactly 0 — via where(), so a
+            # non-finite conic/mean on a gated slot cannot turn the
+            # 0-contribution into NaN (0 * inf) in the accumulations below.
+            return jnp.where(act_b, x, 0.0)
 
         # Grad RMW read for this chunk (started at k-1 / prologue).
         _dma_in(c0 + c_idx, dgrad_hbm, dgrad_s.at[slot], rsem.at[slot]).wait()
@@ -360,7 +372,7 @@ def _bwd_kernel(
             preferred_element_type=jnp.float32,
         )
         dgrad_s[slot, R_OP : R_OP + 1, :] += jnp.sum(
-            dalpha * e_pow, axis=0, keepdims=True
+            gated(dalpha * e_pow), axis=0, keepdims=True
         )
         dpower = dalpha * data_s[slot, R_OP : R_OP + 1, :] * e_pow  # = dalpha*raw
         a_c = data_s[slot, R_CA : R_CA + 1, :]
@@ -368,19 +380,19 @@ def _bwd_kernel(
         c_c = data_s[slot, R_CC : R_CC + 1, :]
         # power = -0.5(a dx^2 + c dy^2) - b dx dy, d = mean - pix.
         dgrad_s[slot, R_MX : R_MX + 1, :] += jnp.sum(
-            dpower * -(a_c * dx + b_c * dy), axis=0, keepdims=True
+            gated(dpower * -(a_c * dx + b_c * dy)), axis=0, keepdims=True
         )
         dgrad_s[slot, R_MY : R_MY + 1, :] += jnp.sum(
-            dpower * -(c_c * dy + b_c * dx), axis=0, keepdims=True
+            gated(dpower * -(c_c * dy + b_c * dx)), axis=0, keepdims=True
         )
         dgrad_s[slot, R_CA : R_CA + 1, :] += jnp.sum(
-            dpower * (-0.5 * dx * dx), axis=0, keepdims=True
+            gated(dpower * (-0.5 * dx * dx)), axis=0, keepdims=True
         )
         dgrad_s[slot, R_CB : R_CB + 1, :] += jnp.sum(
-            dpower * -(dx * dy), axis=0, keepdims=True
+            gated(dpower * -(dx * dy)), axis=0, keepdims=True
         )
         dgrad_s[slot, R_CC : R_CC + 1, :] += jnp.sum(
-            dpower * (-0.5 * dy * dy), axis=0, keepdims=True
+            gated(dpower * (-0.5 * dy * dy)), axis=0, keepdims=True
         )
 
         _dma_out(c0 + c_idx, dgrad_s.at[slot], dgrad_hbm, wsem.at[slot]).start()

@@ -142,7 +142,10 @@ def coarse_loss(
 
     if with_entropy:
         vis_f = visible.astype(jnp.float32)
-        ent = jnp.sum(_entropy(opacities) * vis_f) / jnp.maximum(
+        # where(), not multiply-by-mask: a non-finite opacity in a culled
+        # slot would otherwise poison the sum (NaN * 0 = NaN) and report a
+        # NaN loss while gradients stay finite elsewhere.
+        ent = jnp.sum(jnp.where(visible, _entropy(opacities), 0.0)) / jnp.maximum(
             jnp.sum(vis_f), 1.0
         )
         loss = loss + cfg.entropy_factor * ent
