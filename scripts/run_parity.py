@@ -57,7 +57,10 @@ def main() -> None:
         )
     else:
         scfg = dict(n_gt=60_000, n_init=15_000, n_cams=80, resolution=256)
-        vanilla_iters, coarse_iters, refine_iters = 3_000, 2_500, 1_500
+        # r5 budget: the full 3000/2500/1500 schedule exceeded the round's
+        # wall-clock twice (one tunnel hang); same scene + protocol with a
+        # tighter coarse/refine budget still pins absolute per-stage PSNRs.
+        vanilla_iters, coarse_iters, refine_iters = 3_000, 1_200, 700
         capacity = 2**17
         extract_over = dict(
             total_points=2_000_000, poisson_resolution=160,
@@ -102,7 +105,7 @@ def main() -> None:
             prune_at=(vanilla_iters + int(coarse_iters * 0.3),),
             regularize_from=vanilla_iters,
             start_sdf_estimation_from=vanilla_iters + int(coarse_iters * 0.3),
-            n_samples_for_sdf_regularization=250_000,
+            n_samples_for_sdf_regularization=150_000,
             reset_neighbors_every=150,
             sh_degree=1,
             k_max=1024,

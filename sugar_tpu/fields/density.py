@@ -61,17 +61,36 @@ def field_values(
     isr = inv_scaled_rotation(gp.scales, gp.quaternions)  # (N, 3, 3)
     min_scale = jnp.min(gp.scales, axis=-1)  # (N,)
     global_max_min_scale = jnp.max(min_scale)
+    # Component-major tables for the per-neighbor gathers: a (C*K, 3, 3)
+    # row gather pads 3 -> 128 lanes on TPU (observed 57x HBM expansion —
+    # a 288 MB gather OOM'd at 16 GB); gathering (rows, C*K) columns is
+    # pad-free, and rows are ~free in the column-gather cost model
+    # (PERF.md).
+    isr9 = isr.reshape(-1, 9).T  # (9, N): row 3*i+j = isr[:, i, j]
+    cen3 = gp.centers.T  # (3, N)
 
     def eval_chunk(args):
         xc, idx = args  # (C, 3), (C, K)
-        centers = gp.centers[idx]  # (C, K, 3)
-        isr_c = isr[idx]  # (C, K, 3, 3)
-        op = gp.opacities[idx]  # (C, K)
-        shift = xc[:, None, :] - centers  # (C, K, 3)
-        # warped = diag(1/s) R^T shift.
-        warped = jnp.einsum("ckij,cki->ckj", isr_c, shift)  # (C, K, 3)
-        quad = jnp.clip(jnp.sum(warped * warped, axis=-1), 0.0, 1e8)
-        neigh_op = density_factor * op * jnp.exp(-0.5 * quad)  # (C, K)
+        c_n, k_n = idx.shape
+        flat = idx.reshape(-1)  # (C*K,)
+        m = isr9[:, flat]  # (9, C*K)
+        cen = cen3[:, flat]  # (3, C*K)
+        op = gp.opacities[flat]  # (C*K,)
+        # x repeated K times along the flat neighbor axis.
+        xT = xc.T[:, jnp.repeat(jnp.arange(c_n, dtype=jnp.int32), k_n)]
+        shift = xT - cen  # (3, C*K)
+        # warped_j = sum_i isr[i, j] * shift_i (diag(1/s) R^T shift).
+        warped = jnp.stack(
+            [
+                m[0] * shift[0] + m[3] * shift[1] + m[6] * shift[2],
+                m[1] * shift[0] + m[4] * shift[1] + m[7] * shift[2],
+                m[2] * shift[0] + m[5] * shift[1] + m[8] * shift[2],
+            ]
+        )  # (3, C*K)
+        quad = jnp.clip(jnp.sum(warped * warped, axis=0), 0.0, 1e8)
+        neigh_op = (density_factor * op * jnp.exp(-0.5 * quad)).reshape(
+            c_n, k_n
+        )  # (C, K)
         density_raw = jnp.sum(neigh_op, axis=-1)  # (C,)
         # Soft clamp at 1 with pass-through gradient (sugar_model.py:1282-1284).
         density = jnp.where(
@@ -111,9 +130,19 @@ def field_values(
 
         if return_sdf_grad:
             # sum_j o_j e^{-q/2} Sigma_j^{-1} (x - mu_j), scaled
-            # (sugar_model.py:1310-1314).
-            sigma_inv_shift = jnp.einsum("ckij,ckj->cki", isr_c, warped)
-            grad = jnp.sum(neigh_op[..., None] * sigma_inv_shift, axis=-2)
+            # (sugar_model.py:1310-1314). sigma_inv_shift_i =
+            # sum_j isr[i, j] * warped_j, component-major like above.
+            sis = jnp.stack(
+                [
+                    m[0] * warped[0] + m[1] * warped[1] + m[2] * warped[2],
+                    m[3] * warped[0] + m[4] * warped[1] + m[5] * warped[2],
+                    m[6] * warped[0] + m[7] * warped[1] + m[8] * warped[2],
+                ]
+            )  # (3, C*K)
+            nf = neigh_op.reshape(-1)  # (C*K,)
+            grad = jnp.sum(
+                (nf * sis).reshape(3, c_n, k_n), axis=-1
+            ).T  # (C, 3)
             denom = jnp.maximum(d_cl * sqrt_term, opacity_min_clamp)
             grad = (beta / denom)[..., None] * grad
             out["sdf_grad"] = jnp.clip(grad, -sdf_grad_max_value, sdf_grad_max_value)

@@ -117,7 +117,7 @@ def level_surface_points_one_camera(
 
     dens = df.field_values(
         samples_flat, nbrs, gp, density_factor=1.0, return_sdf=False,
-        chunk=min(2**19, samples_flat.shape[0]),
+        chunk=min(2**16, samples_flat.shape[0]),
     )["density"]
     dens = jnp.minimum(dens, 1.0)  # soft clamp (values only; no grads here)
     dens = dens.reshape(-1, n_points_in_range)
@@ -152,21 +152,41 @@ def level_surface_points_one_camera(
 
 
 def _density_grad(x, neighbor_idx, gp):
+    # Component-major gathers, like fields.density.field_values: (C*K, 3, 3)
+    # row gathers pad 3 -> 128 lanes on TPU (57x HBM expansion, OOM at
+    # production scale); (rows, C*K) column gathers are pad-free.
     isr = df.inv_scaled_rotation(gp.scales, gp.quaternions)
+    isr9 = isr.reshape(-1, 9).T  # (9, N)
+    cen3 = gp.centers.T  # (3, N)
 
     def chunk_fn(args):
-        xc, idx = args
-        centers = gp.centers[idx]
-        isr_c = isr[idx]
-        shift = xc[:, None, :] - centers
-        warped = jnp.einsum("ckij,cki->ckj", isr_c, shift)
-        quad = jnp.clip(jnp.sum(warped * warped, axis=-1), 0.0, 1e8)
-        w = gp.opacities[idx] * jnp.exp(-0.5 * quad)
-        sigma_inv_shift = jnp.einsum("ckij,ckj->cki", isr_c, warped)
-        return jnp.sum(w[..., None] * sigma_inv_shift, axis=-2)
+        xc, idx = args  # (C, 3), (C, K)
+        c_n, k_n = idx.shape
+        flat = idx.reshape(-1)
+        mm = isr9[:, flat]  # (9, C*K)
+        cen = cen3[:, flat]  # (3, C*K)
+        xT = xc.T[:, jnp.repeat(jnp.arange(c_n, dtype=jnp.int32), k_n)]
+        shift = xT - cen
+        warped = jnp.stack(
+            [
+                mm[0] * shift[0] + mm[3] * shift[1] + mm[6] * shift[2],
+                mm[1] * shift[0] + mm[4] * shift[1] + mm[7] * shift[2],
+                mm[2] * shift[0] + mm[5] * shift[1] + mm[8] * shift[2],
+            ]
+        )
+        quad = jnp.clip(jnp.sum(warped * warped, axis=0), 0.0, 1e8)
+        w = gp.opacities[flat] * jnp.exp(-0.5 * quad)  # (C*K,)
+        sis = jnp.stack(
+            [
+                mm[0] * warped[0] + mm[1] * warped[1] + mm[2] * warped[2],
+                mm[3] * warped[0] + mm[4] * warped[1] + mm[5] * warped[2],
+                mm[6] * warped[0] + mm[7] * warped[1] + mm[8] * warped[2],
+            ]
+        )
+        return jnp.sum((w * sis).reshape(3, c_n, k_n), axis=-1).T  # (C, 3)
 
     m = x.shape[0]
-    chunk = 2**18
+    chunk = 2**16
     pad = (-m) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     ip = jnp.pad(neighbor_idx, ((0, pad), (0, 0)))

@@ -84,16 +84,16 @@ def test_stage_ordering_invariants(tmp_path):
     refined_ply = run_refine(cfg, scene, mesh_ply, log_fn=lambda *_: None)
     p_refined = psnr(refined_ply)
 
-    # Absolute per-stage thresholds pinned ~1 dB under the committed r5
+    # Absolute per-stage thresholds pinned ~1.5 dB under the committed r5
     # numbers of this exact config (CPU, fixed seeds: vanilla 17.00,
     # coarse 19.10, refined 16.94 — see the PARITY protocol /
-    # PARITY_r05.json for the full-scale TPU run). A >= 1 dB stage
+    # PARITY_r05.json for the full-scale TPU run). A >= 1.5 dB stage
     # regression now fails the gate (VERDICT r4 #8: the old +-4 dB bands
     # would have passed a 3.9 dB loss).
-    assert p_vanilla > 16.0, p_vanilla
-    assert p_coarse > 18.1, (p_vanilla, p_coarse)
+    assert p_vanilla > 15.5, p_vanilla
+    assert p_coarse > 17.6, (p_vanilla, p_coarse)
     assert len(verts) > 500 and len(faces) > 500
-    assert p_refined > 15.9, (p_coarse, p_refined)
+    assert p_refined > 15.4, (p_coarse, p_refined)
     # Ordering invariants on top of the absolute floors.
     assert p_coarse > p_vanilla - 1.0, (p_vanilla, p_coarse)
     assert p_refined > p_coarse - 3.0, (p_coarse, p_refined)
