@@ -118,7 +118,10 @@ def main() -> None:
         ),
         refine_overrides=dict(
             num_iterations=refine_iters,
-            n_gaussians_per_triangle=1,
+            # 3/tri: a decimated 50k-vertex mesh at 1/tri has ~1/3 the
+            # appearance capacity of the coarse model; 3/tri recovers it
+            # (the reference's low_poly preset binds 6/tri, train.py:92-99).
+            n_gaussians_per_triangle=3,
             sh_degree=1,
             sh_warmup_every=max(1, refine_iters // 2),
             k_max=1024,
