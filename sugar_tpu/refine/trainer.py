@@ -273,6 +273,7 @@ def refined_training(
     step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
     prev_aux = None
+    gt_cache: dict[int, jnp.ndarray] = {}  # device-resident GT images
 
     for it in range(start_iteration, cfg.num_iterations):
         deg = min(it // cfg.sh_warmup_every, cfg.sh_degree)
@@ -282,8 +283,11 @@ def refined_training(
                 cfg, bm, pairs, lrs, deg, cap_state.caps
             )
         ci = sched.index(it)
+        gt = gt_cache.get(ci)
+        if gt is None:
+            gt = gt_cache[ci] = jnp.asarray(images[ci])
         params, adam, aux = step_cache[skey](
-            params, adam, cameras[ci], jnp.asarray(images[ci]), jnp.asarray(it, jnp.int32)
+            params, adam, cameras[ci], gt, jnp.asarray(it, jnp.int32)
         )
         # Lagged overflow check after dispatch (readback overlaps compute).
         if prev_aux is not None and cap_state.observe(prev_aux):

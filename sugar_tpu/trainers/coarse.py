@@ -417,6 +417,7 @@ def train_coarse(
     step_cache: dict = {}
     t0 = time.time()
     prev_aux = None
+    gt_cache: dict[int, jnp.ndarray] = {}  # device-resident GT images
 
     for it in range(start_iteration, cfg.num_iterations):
         iteration = it + 1  # reference counts from 1 (coarse_sdf.py:468)
@@ -441,9 +442,12 @@ def train_coarse(
 
         ci = sched.index(it - cfg.start_iteration)
         sub = iteration_key(seed, it)
+        gt = gt_cache.get(ci)
+        if gt is None:
+            gt = gt_cache[ci] = jnp.asarray(scene_images[ci])
         params, adam, aux = step_cache[key](
             params, alive, adam, knn_idx, scene_cameras[ci],
-            jnp.asarray(scene_images[ci]), jnp.asarray(it, jnp.int32), sub,
+            gt, jnp.asarray(it, jnp.int32), sub,
         )
         # Lagged overflow check after dispatch (readback overlaps compute).
         if prev_aux is not None and cap_state.observe(prev_aux):

@@ -184,6 +184,9 @@ def train_vanilla_3dgs(
     step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
     prev_aux = None
+    # Device-resident GT cache: re-transferring the image every step costs
+    # a host->device round trip per iteration (dominant on tunneled TPUs).
+    gt_cache: dict[int, jnp.ndarray] = {}
 
     def _gui_render(msg: dict):
         """Render the live model for an interactive-viewer poll
@@ -213,7 +216,9 @@ def train_vanilla_3dgs(
             step_cache[skey] = make_train_step(cfg, lrs, active_deg, cap_state.caps)
         ci = sched.index(it)
         cam = scene_cameras[ci]
-        gt = jnp.asarray(scene_images[ci])
+        gt = gt_cache.get(ci)
+        if gt is None:
+            gt = gt_cache[ci] = jnp.asarray(scene_images[ci])
 
         params, adam, stats, aux = step_cache[skey](
             params, alive, adam, stats, cam, gt, jnp.asarray(it, jnp.int32)
