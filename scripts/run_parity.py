@@ -60,7 +60,7 @@ def main() -> None:
         # r5 budget: the full 3000/2500/1500 schedule exceeded the round's
         # wall-clock twice (one tunnel hang); same scene + protocol with a
         # tighter coarse/refine budget still pins absolute per-stage PSNRs.
-        vanilla_iters, coarse_iters, refine_iters = 3_000, 1_200, 2_000
+        vanilla_iters, coarse_iters, refine_iters = 3_000, 1_200, 7_000
         capacity = 2**17
         extract_over = dict(
             total_points=2_000_000, poisson_resolution=160,
