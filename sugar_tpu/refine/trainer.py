@@ -273,6 +273,7 @@ def refined_training(
     step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
     prev_aux = None
+    hot_until = start_iteration + 50
     gt_cache: dict[int, jnp.ndarray] = {}  # device-resident GT images
 
     for it in range(start_iteration, cfg.num_iterations):
@@ -289,9 +290,16 @@ def refined_training(
         params, adam, aux = step_cache[skey](
             params, adam, cameras[ci], gt, jnp.asarray(it, jnp.int32)
         )
-        # Lagged overflow check after dispatch (readback overlaps compute).
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
+        # Lagged overflow check AFTER dispatching this step (readback
+        # overlaps device execution). Cadence is adaptive: every step for
+        # the 50 iterations after a (re)jit — when growth is likely — then
+        # every 10th, so the steady-state loop pays the device->host RTT
+        # once per 10 steps instead of per step (dominant on tunneled
+        # TPUs). A grown cap takes effect from the next checked iteration.
+        if prev_aux is not None and (it < hot_until or it % 10 == 0):
+            if cap_state.observe(prev_aux):
+                step_cache.clear()
+                hot_until = it + 50
         prev_aux = aux
         if checkpoint_dir and (it + 1) in cfg.checkpoint_iterations:
             ckpt.save_milestone(

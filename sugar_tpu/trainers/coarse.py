@@ -417,6 +417,7 @@ def train_coarse(
     step_cache: dict = {}
     t0 = time.time()
     prev_aux = None
+    hot_until = start_iteration + 50
     gt_cache: dict[int, jnp.ndarray] = {}  # device-resident GT images
 
     for it in range(start_iteration, cfg.num_iterations):
@@ -449,9 +450,16 @@ def train_coarse(
             params, alive, adam, knn_idx, scene_cameras[ci],
             gt, jnp.asarray(it, jnp.int32), sub,
         )
-        # Lagged overflow check after dispatch (readback overlaps compute).
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
+        # Lagged overflow check AFTER dispatching this step (readback
+        # overlaps device execution). Cadence is adaptive: every step for
+        # the 50 iterations after a (re)jit — when growth is likely — then
+        # every 10th, so the steady-state loop pays the device->host RTT
+        # once per 10 steps instead of per step (dominant on tunneled
+        # TPUs). A grown cap takes effect from the next checked iteration.
+        if prev_aux is not None and (it < hot_until or it % 10 == 0):
+            if cap_state.observe(prev_aux):
+                step_cache.clear()
+                hot_until = it + 50
         prev_aux = aux
 
         if iteration in cfg.prune_at:

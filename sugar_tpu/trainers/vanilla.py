@@ -184,6 +184,7 @@ def train_vanilla_3dgs(
     step_cache: dict[tuple, Callable] = {}
     t0 = time.time()
     prev_aux = None
+    hot_until = start_iteration + 50
     # Device-resident GT cache: re-transferring the image every step costs
     # a host->device round trip per iteration (dominant on tunneled TPUs).
     gt_cache: dict[int, jnp.ndarray] = {}
@@ -223,12 +224,16 @@ def train_vanilla_3dgs(
         params, adam, stats, aux = step_cache[skey](
             params, alive, adam, stats, cam, gt, jnp.asarray(it, jnp.int32)
         )
-        # Lagged overflow check AFTER dispatching this step: the host fetch
-        # of the previous step's counters overlaps device execution (the
-        # device never idles on the readback RTT). A grown cap takes
-        # effect from the next iteration (CapState's documented lag).
-        if prev_aux is not None and cap_state.observe(prev_aux):
-            step_cache.clear()
+        # Lagged overflow check AFTER dispatching this step (readback
+        # overlaps device execution). Cadence is adaptive: every step for
+        # the 50 iterations after a (re)jit — when growth is likely — then
+        # every 10th, so the steady-state loop pays the device->host RTT
+        # once per 10 steps instead of per step (dominant on tunneled
+        # TPUs). A grown cap takes effect from the next checked iteration.
+        if prev_aux is not None and (it < hot_until or it % 10 == 0):
+            if cap_state.observe(prev_aux):
+                step_cache.clear()
+                hot_until = it + 50
         prev_aux = aux
 
         it1 = it + 1
